@@ -1,0 +1,156 @@
+"""URL scalar functions with reference-parity semantics.
+
+Replicates the behavior of the reference helpers:
+- ``smallest_substr_right``  — /root/reference/libcrawl/util_string.go:10-16
+- ``file_name_from_url``     — /root/reference/libcrawl/util_url.go:13-19
+- ``base_url_only``          — /root/reference/libcrawl/util_url.go:23-28
+- ``rel2abs``                — /root/reference/libcrawl/util_url.go:30-49
+  (deliberately NON-RFC-3986: drops the page's path context, so
+  ``foo.jpg`` on ``/a/b/page`` resolves to ``host/foo.jpg``; also drops
+  any port because the reference uses ``url.Hostname()``. Replicated
+  exactly for parity; ``strict_rfc3986=True`` switches to
+  ``urllib.parse.urljoin``.)
+- ``url_for_pager``          — /root/reference/libcrawl/util_url.go:52-64
+
+Engine additions (north-rule frontier machinery, no reference
+counterpart): ``canonicalize_url``, ``hash64`` / ``hash64_batch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import parse_qsl, quote, urlencode, urljoin, urlsplit, urlunsplit
+
+
+class UrlError(ValueError):
+    """Raised when a URL fails the reference's validation rules."""
+
+
+def smallest_substr_right(s: str, delimiter: str) -> str:
+    """Substring after the last occurrence of ``delimiter`` ("" if none left)."""
+    li = s.rfind(delimiter)
+    if li + 1 < len(s):
+        return s[li + 1 :]
+    return ""
+
+
+def file_name_from_url(url: str) -> str:
+    """Basename of the URL path (after the last '/'); "" when empty."""
+    path = urlsplit(url).path
+    return smallest_substr_right(path, "/")
+
+
+def is_abs(url: str) -> bool:
+    """True when the URL has a scheme (Go ``url.IsAbs`` semantics)."""
+    return urlsplit(url).scheme != ""
+
+
+def base_url_only(url: str) -> str:
+    """scheme://hostname — no port, path, or query (cookie scope URL)."""
+    s = urlsplit(url)
+    if not s.hostname:
+        raise UrlError("relative URLs are not supported")
+    return f"{s.scheme}://{s.hostname}"
+
+
+def _request_uri(link: str) -> str:
+    """Go ``url.URL.RequestURI()`` for a parsed link: path (or "/") + ?query."""
+    s = urlsplit(link)
+    requri = s.path or "/"
+    if s.query:
+        requri += "?" + s.query
+    return requri
+
+
+def rel2abs(page_url: str, link: str) -> str:
+    """Reference-parity relative→absolute resolution (NOT RFC 3986).
+
+    Rebuilds from the page's scheme + hostname + the link's request-URI,
+    discarding the page's path context and port.
+    """
+    d = urlsplit(page_url)
+    if not d.scheme:
+        raise UrlError("page_url must be absolute")
+    if is_abs(link):
+        raise UrlError("link is already absolute")
+    requri = _request_uri(link)
+    host = d.hostname or ""
+    if requri.startswith("/"):
+        return f"{d.scheme}://{host}{requri}"
+    return f"{d.scheme}://{host}/{requri}"
+
+
+def resolve_link(page_url: str, link: str, strict_rfc3986: bool = False) -> str:
+    """Absolutize ``link`` against ``page_url`` (identity when already absolute)."""
+    if is_abs(link):
+        return link
+    if strict_rfc3986:
+        return urljoin(page_url, link)
+    return rel2abs(page_url, link)
+
+
+def url_for_pager(addr: str) -> str:
+    """Validate a pager blueprint URL: absolute + http/https scheme."""
+    s = urlsplit(addr)
+    if not s.scheme:
+        raise UrlError(f"{addr!r} is not an absolute URL")
+    if s.scheme not in ("http", "https"):
+        raise UrlError(f"{addr!r} is an unsupported url scheme")
+    return addr
+
+
+def host_of(url: str) -> str:
+    """Lowercased hostname (no port); "" when unparseable."""
+    try:
+        return (urlsplit(url).hostname or "").lower()
+    except ValueError:
+        return ""
+
+
+_DEFAULT_PORTS = {("http", 80), ("https", 443)}
+
+
+def canonicalize_url(url: str) -> str:
+    """Engine canonical form used for the URL-seen set and url_hash.
+
+    Lowercase scheme+host, strip default ports, drop the fragment, sort
+    query pairs by key (matching the reference QueryPager's
+    ``url.Values.Encode()`` key-sorting, pagers.go:42-45), default path "/".
+    """
+    s = urlsplit(url.strip())
+    scheme = s.scheme.lower()
+    host = (s.hostname or "").lower()
+    try:
+        port = s.port
+    except ValueError:
+        port = None
+    netloc = host if port is None or (scheme, port) in _DEFAULT_PORTS else f"{host}:{port}"
+    path = s.path or "/"
+    pairs = parse_qsl(s.query, keep_blank_values=True)
+    query = urlencode(sorted(pairs), quote_via=quote)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def hash64(s: str) -> int:
+    """Deterministic 64-bit hash of a string (stable across runs/processes)."""
+    return int.from_bytes(hashlib.sha1(s.encode("utf-8")).digest()[:8], "little")
+
+
+def hash64_batch(strings) -> "numpy.ndarray":  # noqa: F821
+    """Vectorized 64-bit hashing for Arrow/numpy string arrays.
+
+    Uses polars' xxhash64 when available (fast path for the 10^10-URL
+    frontier); falls back to the sha1-based ``hash64``. The URL-seen
+    parity suite runs in exact mode (full canonical URLs), so only
+    within-run consistency of this hash is load-bearing.
+    """
+    import numpy as np
+
+    try:
+        import polars as pl
+
+        return pl.Series(strings).hash(seed=0).to_numpy().astype(np.uint64)
+    except Exception:
+        return np.fromiter(
+            (hash64(s) for s in strings), dtype=np.uint64, count=len(strings)
+        )
