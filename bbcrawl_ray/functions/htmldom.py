@@ -1,0 +1,135 @@
+"""Minimal DOM + tree-query micro-library (document-order semantics).
+
+Re-expresses the reference's libhtml walkers
+(/root/reference/libhtml/libhtml.go) on top of Python's stdlib
+``html.parser`` — no third-party HTML libs in this sandbox. All
+queries traverse in pre-order DFS, matching the reference's
+``walkTree`` (libhtml.go:13-26), so extraction order equals DOM
+document order.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from html.parser import HTMLParser
+from typing import Iterator
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+class Node:
+    """One DOM node. ``tag is None`` marks a text node."""
+
+    __slots__ = ("tag", "attrs", "children", "text")
+
+    def __init__(self, tag: str | None, attrs: list[tuple[str, str]] | None = None, text: str = ""):
+        self.tag = tag
+        self.attrs = attrs or []
+        self.children: list[Node] = []
+        self.text = text
+
+    def __repr__(self) -> str:  # pragma: no cover
+        if self.tag is None:
+            return f"Text({self.text!r})"
+        return f"<{self.tag} {self.attrs}>({len(self.children)})"
+
+
+class _DomBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, [(k, v if v is not None else "") for k, v in attrs])
+        self.stack[-1].children.append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        node = Node(tag, [(k, v if v is not None else "") for k, v in attrs])
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(Node(None, text=data))
+
+
+def parse_html(text: str) -> Node:
+    """Parse HTML into a DOM tree rooted at a synthetic ``#document`` node."""
+    b = _DomBuilder()
+    b.feed(text)
+    b.close()
+    return b.root
+
+
+def walk(node: Node) -> Iterator[Node]:
+    """Pre-order DFS (reference walkTree pre-hook order, libhtml.go:13-26)."""
+    yield node
+    for child in node.children:
+        yield from walk(child)
+
+
+def attr_val(node: Node, key: str) -> str:
+    """First value of attribute ``key`` ("" when absent) — libhtml.go:46-53."""
+    for k, v in node.attrs:
+        if k == key:
+            return v
+    return ""
+
+
+def has_attr(node: Node, key: str) -> bool:
+    """libhtml.go:115-122."""
+    return any(k == key for k, _ in node.attrs)
+
+
+def element_by_id(root: Node, id_: str) -> Node | None:
+    """First node (document order) with id == id_ — libhtml.go:55-68."""
+    for n in walk(root):
+        if n.tag is not None and attr_val_exact(n, "id", id_):
+            return n
+    return None
+
+
+def attr_val_exact(node: Node, key: str, val: str) -> bool:
+    return any(k == key and v == val for k, v in node.attrs)
+
+
+def elements_by_attr_match(root: Node, key: str, pattern: re.Pattern) -> list[Node]:
+    """All nodes where attr ``key``'s value matches regex — libhtml.go:70-74."""
+    out = []
+    for n in walk(root):
+        if n.tag is None:
+            continue
+        for k, v in n.attrs:
+            if k == key and pattern.search(v):
+                out.append(n)
+                break
+    return out
+
+
+def elements_by_tag(root: Node, *tags: str) -> list[Node]:
+    """All nodes with one of the given tags, document order — libhtml.go:76-89."""
+    tagset = set(tags)
+    return [n for n in walk(root) if n.tag in tagset]
+
+
+def match_attrs(node: Node, attrs: list[tuple[str, str]]) -> bool:
+    """Node must carry ALL given (key, value) attrs exactly; an empty
+    requirement set always matches — libhtml.go:124-142."""
+    node_attrs = set(node.attrs)
+    return all((k, v) in node_attrs for k, v in attrs)
+
+
+def text_content(node: Node) -> str:
+    """Concatenated text of a subtree (document order)."""
+    return "".join(n.text for n in walk(node) if n.tag is None)

@@ -1,0 +1,377 @@
+"""Driver-contract queries: one entry per engine operator/pipeline.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Ray Dataset /
+pandas DataFrame; ``ORACLE_SQL`` holds the DuckDB-equivalent SQL the
+driver runs side-by-side (views: region nation customer supplier part
+orders lineitem events documents embeddings).
+
+Float-safety convention: every aggregate is derived from exact
+integers (money → cents via ``round(x*100)`` where the true value is
+integral, so rounding is deterministic in both engines and integer
+sums are order-independent). Raw doubles are only ever passed through
+unmodified. This makes the driver's order-insensitive value-hash
+comparison exact.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data import Dataset
+
+from ..sources.pagers import expand_seeds_batch
+from . import relops as R
+
+# ---------------------------------------------------------------------------
+# pager expansion (SURVEY.md §2.1) — SQL oracle via generate_series
+
+
+def _pager_ds(seed_rows: list[dict]) -> Dataset:
+    defaults = {
+        "name": "page",
+        "cut_index": 0,
+        "cut_len": 0,
+        "step": 1,
+        "digits": 0,
+        "adjust": 0,
+        "startpage": "",
+    }
+    rows = [{**defaults, **r} for r in seed_rows]
+    ds = rd.from_items(rows)
+    frontier = ds.map_batches(expand_seeds_batch, batch_format="pyarrow")
+    return frontier.select_columns(["seed_id", "page_num", "url"])
+
+
+def q_pager_query(sf_dir: str) -> Dataset:
+    """QueryPager expansion (pagers.go:21-101): counter in the query string."""
+    return _pager_ds(
+        [
+            {
+                "seed_id": "s1",
+                "pager": "query",
+                "blueprint_url": "http://forum.example/t",
+                "start": 2,
+                "end": 99,
+            }
+        ]
+    )
+
+
+def q_pager_cutter(sf_dir: str) -> Dataset:
+    """URLCuttingPager expansion (pagers.go:104-209) with zero-padding."""
+    return _pager_ds(
+        [
+            {
+                "seed_id": "s2",
+                "pager": "cutter",
+                "blueprint_url": "http://img.example/p/0001.html",
+                "start": 1,
+                "end": 500,
+                "cut_index": 22,
+                "cut_len": 4,
+                "digits": 4,
+            }
+        ]
+    )
+
+
+def q_pager_vb4(sf_dir: str) -> Dataset:
+    """VB4Pager expansion (pagers.go:211-281): thread / thread/pageN."""
+    return _pager_ds(
+        [
+            {
+                "seed_id": "s3",
+                "pager": "vb4",
+                "blueprint_url": "http://board.example/showthread/777",
+                "start": 1,
+                "end": 50,
+            }
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operators over the testdata tables (SURVEY.md §2.7 / §5.6)
+
+
+def q_pricing_summary(sf_dir: str) -> Dataset:
+    """Grouped aggregate with partial pre-combine (TPC-H Q1 shape)."""
+    ds = R.read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        base_cents = R.cents(t["l_extendedprice"])
+        disc_pct = R.cents(t["l_discount"])  # 0.05 → 5
+        disc_milli = pc.multiply(base_cents, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                "base_cents": base_cents,
+                "disc_milli": disc_milli,
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = R.partial_group_aggregate(
+        prepped,
+        ["l_returnflag", "l_linestatus"],
+        sums={"sum_qty": "qty", "sum_base_cents": "base_cents", "sum_disc_milli": "disc_milli"},
+        count_as="count_order",
+    )
+    return out
+
+
+def q_filter_project(sf_dir: str) -> Dataset:
+    """Vectorized filter + computed projection (pushdown at the read)."""
+    ds = R.read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter_expr=(pc.field("l_shipdate") < pa.scalar(pd.Timestamp("1997-01-01"))),
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.greater(t["l_discount"], pa.scalar(0.05))
+        t = t.filter(mask)
+        base_cents = R.cents(t["l_extendedprice"])
+        disc_pct = R.cents(t["l_discount"])
+        rev_milli = pc.multiply(base_cents, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue_milli": rev_milli,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_top_orders(sf_dir: str) -> Dataset:
+    """Top-k with local per-block prune before the global sort."""
+    ds = R.read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return R.topk(ds, ["o_totalprice", "o_orderkey"], [True, False], 10)
+
+
+def q_distinct_flags(sf_dir: str) -> Dataset:
+    """Distinct tuples (set op)."""
+    ds = R.read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    return R.distinct(ds, ["l_returnflag", "l_linestatus"])
+
+
+def q_segment_revenue(sf_dir: str) -> Dataset:
+    """Broadcast hash join (dimension shipped once) + grouped aggregate."""
+    cust = (
+        R.read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    orders = R.read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "price_cents": R.cents(t["o_totalprice"])}
+        )
+
+    joined = R.broadcast_join(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    return R.partial_group_aggregate(
+        joined,
+        ["c_mktsegment"],
+        sums={"revenue_cents": "price_cents"},
+        count_as="order_count",
+    )
+
+
+def q_nation_customers(sf_dir: str) -> Dataset:
+    """Two-level broadcast join (region ⋈ nation pre-joined on the driver)."""
+    nation = R.read_table(sf_dir, "nation").to_pandas()
+    region = R.read_table(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "n_name", "r_name"]
+    ]
+    cust = R.read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = R.broadcast_join(cust, dim, left_on="c_nationkey", right_on="n_nationkey")
+    return R.partial_group_aggregate(
+        joined, ["r_name", "n_name"], sums={}, count_as="customer_count"
+    )
+
+
+def q_customers_no_big_orders(sf_dir: str) -> Dataset:
+    """Broadcast ANTI join: customers with no order above 400k (the engine's
+    ``-exclude`` semantics — SURVEY.md §2.7 set ops)."""
+    big = R.read_table(
+        sf_dir,
+        "orders",
+        columns=["o_custkey"],
+        filter_expr=(pc.field("o_totalprice") > pa.scalar(400000.0)),
+    )
+    keys = set(R.collect_column(big, "o_custkey").tolist())
+    cust = R.read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    return R.broadcast_semi_join(cust, keys, on="c_custkey", anti=True)
+
+
+def q_events_hourly(sf_dir: str) -> Dataset:
+    """Time-bucketed grouped aggregate over the event stream."""
+    ds = R.read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "value_cents": R.cents(t["value"]),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return R.partial_group_aggregate(
+        prepped,
+        ["event_type", "hour"],
+        sums={"value_cents_sum": "value_cents"},
+        count_as="event_count",
+    )
+
+
+def q_supplier_lineitem_volume(sf_dir: str) -> Dataset:
+    """Broadcast join lineitem→supplier + grouped sum (fact×dim)."""
+    supp = R.read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    li = R.read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_suppkey": t["l_suppkey"], "price_cents": R.cents(t["l_extendedprice"])}
+        )
+
+    joined = R.broadcast_join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        supp,
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+    )
+    return R.partial_group_aggregate(
+        joined,
+        ["s_name"],
+        sums={"volume_cents": "price_cents"},
+        count_as="item_count",
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry + oracle SQL
+
+
+QUERIES: dict[str, Callable[[str], Dataset]] = {
+    "pager_query": q_pager_query,
+    "pager_cutter": q_pager_cutter,
+    "pager_vb4": q_pager_vb4,
+    "pricing_summary": q_pricing_summary,
+    "filter_project": q_filter_project,
+    "top_orders": q_top_orders,
+    "distinct_flags": q_distinct_flags,
+    "segment_revenue": q_segment_revenue,
+    "nation_customers": q_nation_customers,
+    "customers_no_big_orders": q_customers_no_big_orders,
+    "events_hourly": q_events_hourly,
+    "supplier_lineitem_volume": q_supplier_lineitem_volume,
+}
+
+
+ORACLE_SQL: dict[str, str] = {
+    "pager_query": """
+        SELECT 's1' AS seed_id, i AS page_num,
+               'http://forum.example/t?page=' || i AS url
+        FROM generate_series(2, 99) AS t(i)
+    """,
+    "pager_cutter": """
+        SELECT 's2' AS seed_id, i AS page_num,
+               'http://img.example/p/' || lpad(CAST(i AS VARCHAR), 4, '0') || '.html' AS url
+        FROM generate_series(1, 500) AS t(i)
+    """,
+    "pager_vb4": """
+        SELECT 's3' AS seed_id, i AS page_num,
+               CASE WHEN i = 1 THEN 'http://board.example/showthread/777'
+                    ELSE 'http://board.example/showthread/777/page' || i END AS url
+        FROM generate_series(1, 50) AS t(i)
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_milli,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "filter_project": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS revenue_milli
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_discount > 0.05
+    """,
+    "top_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "distinct_flags": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    "segment_revenue": """
+        SELECT c_mktsegment,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+               COUNT(*) AS order_count
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "nation_customers": """
+        SELECT r_name, n_name, COUNT(*) AS customer_count
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "customers_no_big_orders": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+        )
+    """,
+    "events_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents_sum,
+               COUNT(*) AS event_count
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "supplier_lineitem_volume": """
+        SELECT s_name,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS volume_cents,
+               COUNT(*) AS item_count
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+    """,
+}

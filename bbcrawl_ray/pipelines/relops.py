@@ -1,0 +1,229 @@
+"""Generic relational operators, Ray-Data-first.
+
+The reference has no relational layer (it is a crawl CLI); these are
+the engine's general-purpose operators exercised by the driver
+contract (``__ray_entry__.queries``) against the TPC-H-ish testdata,
+and reused by the crawl pipeline for frontier scheduling
+(SURVEY.md §2.7: joins/lookups, aggregations, sorts/limits, set ops).
+
+Scale posture:
+- reads prune columns at the source (``read_parquet(columns=...)``);
+- per-batch work is vectorized pyarrow.compute over zero-copy Arrow;
+- aggregations pre-combine inside ``map_batches`` (partial aggregate)
+  so the ``groupby`` shuffle only moves one row per key per block;
+- small-side joins broadcast via ``ray.put`` once per job, never a
+  shuffle; lookups happen with pandas merge / pyarrow ``is_in`` per
+  batch;
+- top-k prunes locally per block before the global sort-limit.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+# ---------------------------------------------------------------------------
+# sources
+
+
+def read_table(
+    sf_dir: str,
+    name: str,
+    columns: Sequence[str] | None = None,
+    filter_expr=None,
+) -> Dataset:
+    """Columnar scan of one testdata table with projection/filter pushdown."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    kwargs = {}
+    if columns is not None:
+        kwargs["columns"] = list(columns)
+    if filter_expr is not None:
+        kwargs["filter"] = filter_expr
+    return rd.read_parquet(path, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# per-batch transforms
+
+
+def map_arrow(ds: Dataset, fn: Callable[[pa.Table], pa.Table], **kwargs) -> Dataset:
+    """Vectorized Arrow-in/Arrow-out transform (zero-copy batches)."""
+    return ds.map_batches(fn, batch_format="pyarrow", **kwargs)
+
+
+def filter_arrow(ds: Dataset, pred: Callable[[pa.Table], pa.ChunkedArray], **kwargs) -> Dataset:
+    """Vectorized filter: ``pred`` returns a boolean mask for the batch."""
+    return ds.map_batches(
+        lambda t: t.filter(pred(t)), batch_format="pyarrow", **kwargs
+    )
+
+
+def cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Money double → exact integer cents (deterministic across summation
+    orders, so aggregate results value-hash identically to the SQL oracle)."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+
+
+_AGG_FACTORY = {
+    "sum": Sum,
+    "min": Min,
+    "max": Max,
+    "mean": Mean,
+    "count": Count,
+}
+
+
+def group_aggregate(
+    ds: Dataset,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str | None]],
+) -> Dataset:
+    """``groupby(keys).aggregate(...)`` with named outputs.
+
+    ``aggs`` maps output column name → (op, input column); op in
+    sum|min|max|mean|count (count ignores the input column).
+    """
+    specs = []
+    for out_name, (op, col) in aggs.items():
+        factory = _AGG_FACTORY[op]
+        if op == "count":
+            specs.append(factory(alias_name=out_name))
+        else:
+            specs.append(factory(col, alias_name=out_name))
+    key = list(keys) if len(keys) > 1 else keys[0]
+    return ds.groupby(key).aggregate(*specs)
+
+
+def partial_group_aggregate(
+    ds: Dataset,
+    keys: Sequence[str],
+    sums: dict[str, str] | None = None,
+    count_as: str | None = None,
+) -> Dataset:
+    """Combiner-style grouped sum/count: pre-aggregate each Arrow batch with
+    ``pyarrow.Table.group_by`` (one output row per key per batch), then a
+    final small ``groupby().aggregate(Sum)`` shuffle.
+
+    At 100 TB this is the difference between shuffling every row and
+    shuffling ~num_blocks × num_keys rows.
+    """
+    sums = dict(sums or {})
+    keys = list(keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {out: t[src] for out, src in sums.items()}
+        work = pa.table({**{k: t[k] for k in keys}, **cols})
+        agg_spec = [(out, "sum") for out in sums]
+        if count_as:
+            agg_spec.append((keys[0], "count"))
+        g = work.group_by(keys).aggregate(agg_spec)
+        rename = {f"{out}_sum": out for out in sums}
+        if count_as:
+            rename[f"{keys[0]}_count"] = count_as
+        return g.rename_columns([rename.get(c, c) for c in g.column_names])
+
+    partial_ds = ds.map_batches(partial, batch_format="pyarrow")
+    final_aggs = {out: ("sum", out) for out in sums}
+    if count_as:
+        final_aggs[count_as] = ("sum", count_as)
+    return group_aggregate(partial_ds, keys, final_aggs)
+
+
+# ---------------------------------------------------------------------------
+# sort / top-k / distinct
+
+
+def topk(ds: Dataset, by: Sequence[str], descending: Sequence[bool], k: int) -> Dataset:
+    """Global top-k: prune to k rows per block first, then sort-limit.
+
+    The local prune keeps the all-to-all sort tiny (k × num_blocks rows).
+    """
+    by = list(by)
+    descending = list(descending)
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        order = [(c, "descending" if d else "ascending") for c, d in zip(by, descending)]
+        idx = pc.sort_indices(t, sort_keys=order)
+        return t.take(idx[:k])
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow")
+    return pruned.sort(by, descending=descending).limit(k)
+
+
+def distinct(ds: Dataset, cols: Sequence[str]) -> Dataset:
+    """Distinct tuples via per-block dedup + grouped first (shuffle on cols)."""
+    cols = list(cols)
+
+    def local(t: pa.Table) -> pa.Table:
+        return t.select(cols).group_by(cols).aggregate([])
+
+    deduped = ds.map_batches(local, batch_format="pyarrow")
+    key = cols if len(cols) > 1 else cols[0]
+    return deduped.groupby(key).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# broadcast joins (small side shipped once via the object store)
+
+
+def broadcast_join(
+    ds: Dataset,
+    small: pd.DataFrame,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    **kwargs,
+) -> Dataset:
+    """Hash-join each batch against a broadcast small side (no shuffle).
+
+    The small side goes into the object store ONCE (``ray.put``); every
+    task reads the same zero-copy plasma object instead of re-shipping
+    it per batch.
+    """
+    ref = ray.put(small)
+
+    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(ref), left_on=left_on, right_on=right_on, how=how)
+
+    # Stateless tasks: ray.get(ref) per task is a zero-copy plasma read of
+    # the one broadcast object; tasks never starve other stages the way a
+    # CPU-reserving actor pool can on a small cluster.
+    return ds.map_batches(join_batch, batch_format="pandas", **kwargs)
+
+
+def broadcast_semi_join(ds: Dataset, keys: Iterable, on: str, anti: bool = False) -> Dataset:
+    """Semi/anti join against a broadcast key set, as a vectorized filter."""
+    key_arr = pa.array(list(keys))
+    ref = ray.put(key_arr)
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[on], value_set=ray.get(ref))
+        if anti:
+            mask = pc.invert(mask)
+        return t.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def collect_column(ds: Dataset, col: str) -> np.ndarray:
+    """Materialize one column of a SMALL dataset on the driver."""
+    parts = [b[col].to_numpy(zero_copy_only=False) for b in ds.iter_batches(batch_format="pyarrow")]
+    return np.concatenate(parts) if parts else np.array([])

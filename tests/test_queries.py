@@ -1,0 +1,72 @@
+"""Driver-contract rehearsal: every queries() entry vs its DuckDB oracle.
+
+Mirrors the driver's check (row-count + schema + order-insensitive
+value comparison) at sf0.001 so CORRECTNESS_r{N}.json holds no surprises.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def to_pandas(res):
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def oracle_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _names():
+    from bbcrawl_ray.pipelines.queries import ORACLE_SQL
+
+    return sorted(ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", _names())
+def test_query_matches_oracle(ray_session, sf_dir, name):
+    from bbcrawl_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    got = normalize(to_pandas(QUERIES[name](sf_dir)))
+    exp = normalize(oracle_con(sf_dir).execute(ORACLE_SQL[name]).df())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp), f"{name}: {len(got)} rows vs oracle {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
+def test_all_queries_have_callables():
+    from bbcrawl_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    assert set(ORACLE_SQL) <= set(QUERIES)
