@@ -1,0 +1,321 @@
+"""The crawl pipeline: seeds → frontier epochs → fetch → parse → tables.
+
+Engine lifecycle (SURVEY.md §3, "Engine lifecycle"):
+
+    seeds ──expand──▶ frontier(epoch 0)
+    per epoch:
+        frontier ─groupby(host) budget+skew─▶ selected | deferred   (checkpointed)
+        selected ─SeenFilter (sharded actors)─▶ new URLs only
+                 ─map_batches(Fetcher actors)─▶ pages
+                 ─map_batches(ParsePages)────▶ documents ⊕ manifest ⊕ links
+                 (checkpointed; bodies dropped inside parse)
+        manifest pending ─map_batches(Downloader actors)─▶ blobs + final manifest
+        next frontier = deferred ∪ discovered links (depth+1)
+
+Every epoch's outputs land in parquet under the checkpoint root BEFORE
+the next epoch starts; ``_SUCCESS`` marks completion, so a killed run
+resumes from the last complete epoch with the URL-seen shards rebuilt
+from checkpointed fetch records (state/checkpoint.py).
+
+For the bounded reference workloads there is exactly ONE epoch and no
+discovery, which reproduces bbcrawl's sequential page semantics; order
+parity is recovered by sorting outputs on (seed_id, page_num, offset),
+never by execution order (SURVEY.md §4 ordering row).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from ..cli.partition import CrawlerSpec, PipelineSpec
+from ..functions.urlfns import canonicalize_url, hash64_batch, host_of
+from ..sources.corpus import CorpusConfig
+from ..sources.pagers import expand_seeds_batch
+from ..state.checkpoint import CheckpointManager, config_hash
+from ..state.politeness import budget_frontier
+from ..state.seen import SeenFilter, SeenSet
+from ..stages.download import Downloader
+from ..stages.fetch import FetchConfig, Fetcher
+from ..stages.parse import ParsePages
+from .. import schemas
+
+FRONTIER_BUDGETED = schemas.FRONTIER.append(
+    pa.field("selected", pa.bool_())
+).append(pa.field("host_shard", pa.string()))
+
+
+@dataclass
+class CrawlConfig:
+    crawler: CrawlerSpec
+    seeds: list[dict]
+    output_root: str
+    transport: str = "synthetic"
+    corpus: CorpusConfig = field(default_factory=CorpusConfig)
+    pages: dict | None = None  # mapping-transport page dict
+    obey_robots: bool = False
+    min_host_delay_s: float = 0.0
+    per_host_budget: int | None = None
+    skew_split_threshold: int = 10_000
+    seen_shards: int = 4
+    seen_mode: str = "exact"
+    fetch_concurrency: tuple = (1, 4)
+    fetch_batch_size: int = 64
+    fetch_num_cpus: float = 0.5
+    max_epochs: int = 1
+    follow_links: bool = False
+    same_host_only: bool = True  # discovered links must stay on a seed host
+    download_media: bool = False
+    download_concurrency: tuple = (1, 4)
+    strict_errors: bool = False
+
+
+def read_parquet_dirs(dirs: list[str], schema: pa.Schema) -> Dataset:
+    """Read possibly-empty parquet directories (Ray's read_parquet treats
+    list entries as files, and chokes on empty dirs)."""
+    import glob
+
+    files: list[str] = []
+    for d in dirs:
+        files.extend(sorted(glob.glob(f"{d}/*.parquet")))
+    if not files:
+        return rd.from_arrow(schemas.empty_table(schema))
+    return rd.read_parquet(files)
+
+
+@dataclass
+class CrawlResult:
+    documents: Dataset
+    manifest: Dataset
+    metrics: list[dict]
+    epochs_run: int
+    checkpoint_root: str
+
+
+def _fetch_cfg(cfg: CrawlConfig, pages_ref) -> FetchConfig:
+    return FetchConfig(
+        transport=cfg.transport,
+        corpus=cfg.corpus,
+        pages_ref=pages_ref,
+        allow_redirect=cfg.crawler.allow_redirect,
+        obey_robots=cfg.obey_robots,
+        min_host_delay_s=cfg.min_host_delay_s,
+    )
+
+
+def _seed_frontier(cfg: CrawlConfig) -> Dataset:
+    defaults = {
+        "name": "page",
+        "cut_index": 0,
+        "cut_len": 0,
+        "step": 1,
+        "digits": 0,
+        "adjust": 0,
+        "startpage": "",
+    }
+    rows = [{**defaults, **r} for r in cfg.seeds]
+    return rd.from_items(rows).map_batches(expand_seeds_batch, batch_format="pyarrow")
+
+
+def _links_to_frontier(links: pa.Table, epoch: int, seed_hosts: set[str], same_host: bool) -> pa.Table:
+    """record_kind=link rows → FRONTIER rows at depth+1 for the next epoch."""
+    urls = links["media_ref"].to_pylist()
+    seed_ids = links["seed_id"].to_pylist()
+    froms = links["url"].to_pylist()
+    depths = [0] * len(urls)
+    keep = []
+    for i, u in enumerate(urls):
+        h = host_of(u)
+        if same_host and h not in seed_hosts:
+            continue
+        keep.append(i)
+    urls = [urls[i] for i in keep]
+    seed_ids = [seed_ids[i] for i in keep]
+    froms = [froms[i] for i in keep]
+    canon = [canonicalize_url(u) for u in urls]
+    n = len(urls)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "canon_url": pa.array(canon, pa.string()),
+            "host": pa.array([host_of(u) for u in urls], pa.string()),
+            "page_num": pa.array([0] * n, pa.int64()),
+            "priority": pa.array([-(10**6)] * n, pa.int64()),
+            "depth": pa.array([1] * n, pa.int32()),
+            "seed_id": pa.array(seed_ids, pa.string()),
+            "url_hash": pa.array(hash64_batch(canon) if n else [], pa.uint64()),
+            "discovered_from": pa.array(froms, pa.string()),
+            "epoch": pa.array([epoch] * n, pa.int32()),
+        },
+        schema=schemas.FRONTIER,
+    )
+
+
+def run_crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
+    """Execute the crawl; see module docstring for the epoch dataflow."""
+    ckpt = CheckpointManager(f"{cfg.output_root}/checkpoints")
+    seen = SeenSet(cfg.seen_shards, cfg.seen_mode)
+    pages_ref = ray.put(cfg.pages) if cfg.pages is not None else None
+    fetch_cfg = _fetch_cfg(cfg, pages_ref)
+    lineage_base = {"config_hash": config_hash(cfg), "crawler": cfg.crawler.crawler}
+
+    start_epoch = 0
+    frontier: Dataset | None = None
+    if resume:
+        latest = ckpt.latest_complete()
+        if latest is not None:
+            # rebuild URL-seen from every complete epoch's fetched records
+            for e in range(latest + 1):
+                if not ckpt.is_complete(e):
+                    continue
+                fetched = read_parquet_dirs(
+                    [ckpt.path(e, "frontier")], FRONTIER_BUDGETED
+                ).select_columns(["canon_url", "url_hash", "selected"])
+                for b in fetched.iter_batches(batch_format="pyarrow"):
+                    b = b.filter(b["selected"])
+                    seen.check_and_add_batch(
+                        b["url_hash"].to_numpy(zero_copy_only=False),
+                        b["canon_url"].to_pylist(),
+                    )
+            start_epoch = latest + 1
+            deferred = read_parquet_dirs(
+                [ckpt.path(latest, "frontier")], FRONTIER_BUDGETED
+            ).filter(expr="selected == False")
+            frontier = deferred.drop_columns(["selected", "host_shard"])
+    if frontier is None:
+        if not resume:
+            ckpt.clear()
+        frontier = _seed_frontier(cfg)
+
+    seed_hosts = {host_of(s["blueprint_url"]) for s in cfg.seeds}
+    metrics_all: list[dict] = []
+    epochs_run = 0
+    parsed_dirs: list[str] = []
+    manifest_dirs: list[str] = []
+
+    for epoch in range(start_epoch, start_epoch + cfg.max_epochs):
+        t0 = time.perf_counter()
+        # -- budget + skew split (the one host-keyed shuffle), checkpointed
+        budgeted = budget_frontier(frontier, cfg.per_host_budget, cfg.skew_split_threshold)
+        frontier_dir = ckpt.write_part(epoch, "frontier", budgeted)
+
+        # -- fetch + parse (selected rows only, streamed once to parquet)
+        selected = read_parquet_dirs([frontier_dir], FRONTIER_BUDGETED).filter(
+            expr="selected == True"
+        )
+        new_rows = selected.map_batches(SeenFilter(seen), batch_format="pyarrow")
+        pages = new_rows.map_batches(
+            Fetcher,
+            fn_constructor_args=(fetch_cfg,),
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
+            concurrency=cfg.fetch_concurrency,
+            num_cpus=cfg.fetch_num_cpus,
+        )
+        parsed = pages.map_batches(
+            ParsePages(
+                cfg.crawler,
+                strict_errors=cfg.strict_errors,
+                discover_links=cfg.follow_links,
+            ),
+            batch_format="pyarrow",
+        )
+        parsed_dir = ckpt.write_part(epoch, "parsed", parsed)
+        parsed_dirs.append(parsed_dir)
+
+        # -- downloads (actor pool; skip-if-exists = idempotent resume)
+        manifest = read_parquet_dirs([parsed_dir], schemas.PARSED).filter(
+            expr="record_kind == 'manifest'"
+        )
+        if cfg.download_media:
+            manifest = manifest.map_batches(
+                Downloader,
+                fn_constructor_args=(fetch_cfg, f"{cfg.output_root}/files"),
+                batch_format="pyarrow",
+                concurrency=cfg.download_concurrency,
+                num_cpus=cfg.fetch_num_cpus,
+            )
+        manifest_dir = ckpt.write_part(epoch, "manifest", manifest)
+        manifest_dirs.append(manifest_dir)
+
+        # -- metrics + lineage (small aggregates over checkpointed parquet)
+        man_ds = read_parquet_dirs([manifest_dir], schemas.PARSED)
+        parsed_ds = read_parquet_dirs([parsed_dir], schemas.PARSED)
+        docs_count = parsed_ds.filter(expr="record_kind == 'doc'").count()
+        status_counts = {
+            r["status"]: r["count()"]
+            for r in man_ds.groupby("status").count().take_all()
+        }
+        per_seed = {
+            r["seed_id"]: r["count()"]
+            for r in parsed_ds.select_columns(["seed_id", "record_kind"])
+            .filter(expr="record_kind == 'doc'")
+            .groupby("seed_id")
+            .count()
+            .take_all()
+        }
+        metrics = {
+            "epoch": epoch,
+            "pages_parsed": docs_count,
+            "manifest_status": status_counts,
+            "docs_per_seed": per_seed,
+            "seen_sizes": seen.sizes(),
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }
+        ckpt.write_json(epoch, "metrics.json", metrics)
+        ckpt.write_json(epoch, "lineage.json", {**lineage_base, "epoch": epoch})
+        ckpt.mark_complete(epoch)
+        metrics_all.append(metrics)
+        epochs_run += 1
+
+        # -- next epoch frontier: deferred ∪ discovered
+        deferred = read_parquet_dirs([frontier_dir], FRONTIER_BUDGETED).filter(
+            expr="selected == False"
+        )
+        next_parts = [deferred.drop_columns(["selected", "host_shard"])]
+        if cfg.follow_links:
+            links = read_parquet_dirs([parsed_dir], schemas.PARSED).filter(
+                expr="record_kind == 'link'"
+            )
+            next_epoch, same_host = epoch + 1, cfg.same_host_only
+            discovered = links.map_batches(
+                lambda t: _links_to_frontier(t, next_epoch, seed_hosts, same_host),
+                batch_format="pyarrow",
+            )
+            next_parts.append(discovered)
+        frontier = next_parts[0]
+        for p in next_parts[1:]:
+            frontier = frontier.union(p)
+        if epoch + 1 < start_epoch + cfg.max_epochs and frontier.count() == 0:
+            break
+
+    documents = (
+        read_parquet_dirs(parsed_dirs, schemas.PARSED)
+        .filter(expr="record_kind == 'doc'")
+        .select_columns(["doc_id", "spans", "seed_id", "page_num", "url", "record_kind"])
+        .drop_columns(["record_kind"])
+    )
+    manifest = read_parquet_dirs(manifest_dirs, schemas.PARSED).filter(
+        expr="record_kind == 'manifest'"
+    )
+    return CrawlResult(documents, manifest, metrics_all, epochs_run, ckpt.root)
+
+
+def crawl_from_spec(
+    spec: PipelineSpec, output_root: str, seed_id: str = "s0001", **overrides
+) -> CrawlResult:
+    """Reference-CLI entry: one PipelineSpec → one-epoch bounded crawl."""
+    cfg = CrawlConfig(
+        crawler=spec.crawler,
+        seeds=[spec.pager.seed_row(seed_id)],
+        output_root=output_root,
+        **overrides,
+    )
+    return run_crawl(cfg)

@@ -117,6 +117,31 @@ MEDIA_MANIFEST = pa.schema(
 )
 
 
+# --- combined parse-stage output (documents ⊕ manifest ⊕ links) -------------
+# One pass over each fetched body yields all three record kinds; the
+# pipeline splits them downstream with a cheap vectorized filter on
+# ``record_kind`` (doc | manifest | link).
+PARSED = pa.schema(
+    [
+        ("record_kind", pa.string()),
+        ("doc_id", pa.string()),
+        ("spans", pa.list_(SPAN)),
+        ("seed_id", pa.string()),
+        ("page_num", pa.int64()),
+        ("url", pa.string()),
+        ("media_ref", pa.string()),
+        ("out_dir", pa.string()),
+        ("out_name", pa.string()),
+        ("post_id", pa.string()),
+        ("att_ordinal", pa.int32()),
+        ("status", pa.string()),
+        ("error", pa.string()),
+        ("bytes", pa.int64()),
+        ("header_filename", pa.string()),
+    ]
+)
+
+
 def empty_table(schema: pa.Schema) -> pa.Table:
     """An empty Arrow table with the given schema."""
     return schema.empty_table()

@@ -1,0 +1,104 @@
+"""Download sink: manifest rows → blobs on disk + final manifest rows.
+
+Replaces the reference's 5-goroutine dispatcher + spin-wait
+backpressure (download/downloader.go:208-317) with a Ray Data actor
+pool — the streaming executor provides the backpressure, completions
+are just output rows.
+
+Parity semantics:
+- deterministic names assigned at dispatch; unnamed downloads fall
+  back to "{page_num}.download" (the reference uses a global mutex
+  counter id, downloadcounter.go — replaced by the data-derived
+  page ordinal so nothing serializes the pipeline)
+- skip-if-exists: an existing target file is NOT overwritten
+  (AllowOverride is never set true in the reference) → re-runs are
+  incremental; status "skipped_exists"
+- names-from-header: after the body is fetched, the file is renamed to
+  "{postid}-{attid}-{Content-Disposition filename}"
+  (afterdownload.go:27-46); a rename collision or missing header is a
+  RenameError → status "error", file kept under its temp name
+- download errors are never fatal (crawlers.go:131-149) — error rows
+  flow to the manifest.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from ..functions import naming
+from ..sources.corpus import make_transport
+from .fetch import FetchConfig
+
+
+class Downloader:
+    """Actor-pool callable: MEDIA_MANIFEST batch → same schema, resolved."""
+
+    def __init__(self, fetch_cfg: FetchConfig, output_root: str, allow_override: bool = False):
+        pages = None
+        if fetch_cfg.pages_ref is not None:
+            import ray
+
+            pages = ray.get(fetch_cfg.pages_ref)
+        self.transport = make_transport(fetch_cfg.transport, fetch_cfg.corpus, pages)
+        self.output_root = output_root
+        self.allow_override = allow_override
+        os.makedirs(output_root, exist_ok=True)
+
+    def _target(self, out_dir: str, name: str) -> str:
+        d = os.path.join(self.output_root, out_dir) if out_dir else self.output_root
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, name)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        for row in rows:
+            if row["status"] != "pending":
+                continue
+            url = row["media_ref"]
+            name = row["out_name"]
+            from_header = not name  # vb names-from-header rows carry no name
+            if from_header:
+                # deterministic temp name (reference: "{id}.download")
+                name = naming.auto_name(f"{row['post_id']}-{row['att_ordinal']}")
+            target = self._target(row["out_dir"], name)
+            if os.path.exists(target) and not self.allow_override:
+                row["status"] = "skipped_exists"
+                row["out_name"] = name
+                row["error"] = f"file already exists: {target}"
+                continue
+            try:
+                resp = self.transport.get(url)
+            except Exception as e:
+                row["status"] = "error"
+                row["error"] = f"fetch failed: {e}"
+                continue
+            if resp.status != 200:
+                row["status"] = "error"
+                row["error"] = f"HTTP status {resp.status}"
+                continue
+            with open(target, "wb") as f:
+                f.write(resp.body)
+            row["bytes"] = len(resp.body)
+            row["out_name"] = name
+            row["status"] = "ok"
+            if from_header:
+                # AfterDownload rename hook (afterdownload.go:27-46)
+                try:
+                    hdr = naming.header_filename(
+                        resp.headers.get("Content-Disposition", [])
+                    )
+                    row["header_filename"] = hdr
+                    newname = f"{row['post_id']}-{row['att_ordinal']}-{hdr}"
+                    naming.check_filename(newname)
+                    newtarget = self._target(row["out_dir"], newname)
+                    if os.path.exists(newtarget):
+                        raise naming.NamingError("File already exists")
+                    os.rename(target, newtarget)
+                    row["out_name"] = newname
+                except naming.NamingError as e:
+                    row["status"] = "error"
+                    row["error"] = f'Cannot rename file "{name}": {e}'
+        out = pa.Table.from_pylist(rows, schema=batch.schema)
+        return out

@@ -1,0 +1,191 @@
+"""Fetch stage: a stateful actor pool turning frontier rows into page rows.
+
+The reference fetches serially with one shared http.Client whose cookie
+jar is lazily built on first request (crawlers.go:88-124); politeness
+is implicit in the serial loop. Here fetch runs as
+``map_batches(Fetcher, concurrency=(min,max))`` — an actor pool whose
+per-actor state (transport, cookie jar, robots cache, per-host
+last-fetch clock) is built ONCE in ``__init__`` and amortized across
+batches. The frontier is host-partitioned upstream so one host's
+politeness/cookie state lives in one actor (SURVEY.md §4 shared-state
+row).
+
+Redirect policy parity (libhttp/redirect/redirect.go):
+- allow (Log): follow up to 10 redirects, record the chain; >10 → error
+- deny: any redirect is an error row
+
+Charset parity (libhttp/encoding.go:10-16): a response without a
+Content-Type header is an error ("No Content-Type found in HTTP
+response"); the charset parameter is recorded for the parse stage.
+
+Error semantics: the reference ABORTS the whole run on a page fetch
+error (api.go:104-113) but only logs download errors. Abort-vs-skip is
+a policy knob: rows carry an ``error`` column; ``strict_errors`` in
+the parse stage reproduces the abort for parity tests, while at scale
+errors route to the manifest/errors table instead of killing the job.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from ..sources.corpus import CorpusConfig, Response, make_transport
+
+_CHARSET_RE = re.compile(r"charset=([A-Za-z0-9_\-]+)", re.I)
+MAX_REDIRECTS = 10  # redirect.go:12
+
+
+@dataclass
+class FetchConfig:
+    transport: str = "synthetic"  # synthetic | mapping | http
+    corpus: CorpusConfig = field(default_factory=CorpusConfig)
+    pages_ref: object = None  # ray.ObjectRef of {url: Response} for mapping
+    allow_redirect: bool = True  # redirect.Log vs redirect.Deny
+    obey_robots: bool = False  # engine extension (reference has none)
+    min_host_delay_s: float = 0.0  # politeness: min spacing between hits per host
+    cookies: dict = field(default_factory=dict)  # broadcast cookie set
+
+
+def parse_content_type(ct: str) -> tuple[str, str]:
+    """("text/html; charset=ISO-8859-1") → ("text/html", "iso-8859-1")."""
+    if not ct:
+        return "", ""
+    m = _CHARSET_RE.search(ct)
+    return ct.split(";")[0].strip().lower(), (m.group(1).lower() if m else "")
+
+
+class RobotsRules:
+    """Minimal robots.txt: ``Disallow:`` path prefixes for User-agent *."""
+
+    def __init__(self, text: str):
+        self.disallow: list[str] = []
+        active = False
+        for line in text.splitlines():
+            line = line.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key, val = key.strip().lower(), val.strip()
+            if key == "user-agent":
+                active = val == "*"
+            elif key == "disallow" and active and val:
+                self.disallow.append(val)
+
+    def allowed(self, path: str) -> bool:
+        return not any(path.startswith(p) for p in self.disallow)
+
+
+class Fetcher:
+    """Actor-pool callable: FRONTIER batch (pyarrow) → PAGES batch."""
+
+    def __init__(self, cfg: FetchConfig):
+        self.cfg = cfg
+        pages = None
+        if cfg.pages_ref is not None:
+            import ray
+
+            pages = ray.get(cfg.pages_ref)  # broadcast read, once per actor
+        self.transport = make_transport(cfg.transport, cfg.corpus, pages)
+        self.robots: dict[str, RobotsRules] = {}
+        self.last_hit: dict[str, float] = {}
+        self.cookie_jar: dict[str, dict] = {}  # host → cookies (jar built once)
+        if cfg.cookies:
+            for host, jar in cfg.cookies.items():
+                self.cookie_jar[host] = dict(jar)
+
+    # -- politeness -------------------------------------------------------
+    def _wait_turn(self, host: str) -> None:
+        if self.cfg.min_host_delay_s <= 0:
+            return
+        now = time.monotonic()
+        next_ok = self.last_hit.get(host, 0.0) + self.cfg.min_host_delay_s
+        if next_ok > now:
+            time.sleep(next_ok - now)
+        self.last_hit[host] = time.monotonic()
+
+    def _robots_allowed(self, host: str, scheme: str, path: str) -> bool:
+        if not self.cfg.obey_robots:
+            return True
+        rules = self.robots.get(host)
+        if rules is None:
+            resp = self.transport.get(f"{scheme}://{host}/robots.txt")
+            rules = RobotsRules(resp.body.decode("utf-8", "replace") if resp.status == 200 else "")
+            self.robots[host] = rules
+        return rules.allowed(path)
+
+    # -- one URL ----------------------------------------------------------
+    def fetch_one(self, url: str, host: str) -> tuple[Response, list[str], str]:
+        """Returns (response, redirect_chain, error)."""
+        from urllib.parse import urlsplit
+
+        s = urlsplit(url)
+        if not self._robots_allowed(host, s.scheme or "http", s.path or "/"):
+            return Response(), [], "blocked by robots.txt"
+        chain: list[str] = []
+        current = url
+        for _hop in range(MAX_REDIRECTS + 2):
+            self._wait_turn(host)
+            try:
+                resp = self.transport.get(current)
+            except Exception as e:  # transport failure
+                return Response(), chain, f"fetch failed: {e}"
+            if resp.status in (301, 302, 303, 307, 308) and resp.redirect_to:
+                if not self.cfg.allow_redirect:
+                    # redirect.Deny (redirect.go:16-22)
+                    return resp, chain, (
+                        f'Attempted Redirection: "{current}" → "{resp.redirect_to}"'
+                    )
+                chain.append(resp.redirect_to)
+                if len(chain) > MAX_REDIRECTS:
+                    return resp, chain, "Too many redirects"
+                current = resp.redirect_to
+                continue
+            return resp, chain, ""
+        return Response(), chain, "Too many redirects"
+
+    # -- batch ------------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        hosts = batch["host"].to_pylist()
+        seeds = batch["seed_id"].to_pylist()
+        pages = batch["page_num"].to_pylist()
+
+        statuses, ctypes, bodies, encs, chains, headers_col, errors = [], [], [], [], [], [], []
+        for url, host in zip(urls, hosts):
+            resp, chain, err = self.fetch_one(url, host)
+            ctype_full = resp.content_type()
+            ctype, enc = parse_content_type(ctype_full)
+            if not err and resp.status == 200 and not ctype_full:
+                # BodyUTF8 parity: encoding.go:10-16
+                err = "No Content-Type found in HTTP response"
+            if not err and resp.status >= 400:
+                err = f"HTTP status {resp.status}"
+            statuses.append(resp.status)
+            ctypes.append(ctype)
+            bodies.append(resp.body if not err else b"")
+            encs.append(enc or "utf-8")
+            chains.append(chain)
+            headers_col.append([(k, v[0]) for k, v in resp.headers.items()])
+            errors.append(err)
+
+        from .. import schemas
+
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "seed_id": pa.array(seeds, pa.string()),
+                "page_num": pa.array(pages, pa.int64()),
+                "status": pa.array(statuses, pa.int32()),
+                "content_type": pa.array(ctypes, pa.string()),
+                "body": pa.array(bodies, pa.large_binary()),
+                "encoding": pa.array(encs, pa.string()),
+                "redirect_chain": pa.array(chains, pa.list_(pa.string())),
+                "headers": pa.array(headers_col, pa.map_(pa.string(), pa.string())),
+                "error": pa.array(errors, pa.string()),
+            },
+            schema=schemas.PAGES,
+        )

@@ -300,9 +300,28 @@ class ParsePages:
     point possible — to keep blocks small (SURVEY.md §4 memory row).
     """
 
-    def __init__(self, spec: CrawlerSpec, strict_errors: bool = False):
+    def __init__(
+        self, spec: CrawlerSpec, strict_errors: bool = False, discover_links: bool = False
+    ):
         self.spec = spec
         self.strict_errors = strict_errors
+        self.discover_links = discover_links
+
+    def _links(self, page_url: str, root: Node) -> list[str]:
+        """Frontier-discovery extension (no reference counterpart): hrefs of
+        non-attachment anchors, absolutized."""
+        out = []
+        for n in elements_by_tag(root, "a"):
+            node_id = attr_val(n, "id")
+            if node_id and VB4_ATTACHMENT_ID.match(node_id):
+                continue
+            href = attr_val(n, "href")
+            if href:
+                try:
+                    out.append(resolve_link(page_url, href))
+                except ValueError:
+                    pass
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_rows = []
@@ -329,6 +348,11 @@ class ParsePages:
             root = parse_html(text)
             spans = extract_spans(url, root)
             doc_rows.append((doc_id, row, spans))
+            if self.discover_links:
+                for link in self._links(url, root):
+                    man_rows.append(
+                        (doc_id, row, ManifestRow(link, status="", error="link"))
+                    )
             if self.spec.crawler == "src":
                 manifest = src_crawler_manifest(url, page_num, root, self.spec)
             elif self.spec.crawler == "vb-attachments":
@@ -357,11 +381,16 @@ class ParsePages:
                 "att_ordinal": pa.array([0] * len(doc_rows), pa.int32()),
                 "status": pa.array([""] * len(doc_rows), pa.string()),
                 "error": pa.array([""] * len(doc_rows), pa.string()),
+                "bytes": pa.array([0] * len(doc_rows), pa.int64()),
+                "header_filename": pa.array([""] * len(doc_rows), pa.string()),
             }
         )
         man_tbl = pa.table(
             {
-                "record_kind": pa.array(["manifest"] * len(man_rows), pa.string()),
+                "record_kind": pa.array(
+                    ["link" if m.error == "link" else "manifest" for _, _, m in man_rows],
+                    pa.string(),
+                ),
                 "doc_id": pa.array([d for d, _, _ in man_rows], pa.string()),
                 "spans": pa.array([[] for _ in man_rows], pa.list_(schemas.SPAN)),
                 "seed_id": pa.array([r["seed_id"] for _, r, _ in man_rows], pa.string()),
@@ -381,7 +410,12 @@ class ParsePages:
                     ],
                     pa.string(),
                 ),
-                "error": pa.array([m.error for _, _, m in man_rows], pa.string()),
+                "error": pa.array(
+                    ["" if m.error == "link" else m.error for _, _, m in man_rows],
+                    pa.string(),
+                ),
+                "bytes": pa.array([0] * len(man_rows), pa.int64()),
+                "header_filename": pa.array([""] * len(man_rows), pa.string()),
             }
         )
         return pa.concat_tables([docs_tbl, man_tbl])

@@ -1,0 +1,214 @@
+"""End-to-end crawl pipeline tests (Ray, synthetic + mapping transports).
+
+Covers SURVEY.md §5 items 3-4: crawl-order parity vs a pure-Python
+oracle, URL-seen dedup idempotence, politeness budget enforcement,
+checkpoint → resume equivalence, and download resume semantics.
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from bbcrawl_ray.cli.partition import CrawlerSpec
+from bbcrawl_ray.sources.corpus import Response
+from bbcrawl_ray.sources.pagers import expand_seed
+
+
+@pytest.fixture()
+def tmp_root():
+    d = tempfile.mkdtemp(prefix="bbray_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+SEED = {
+    "seed_id": "s1",
+    "pager": "vb4",
+    "blueprint_url": "http://forum.example/threads/42",
+    "start": 1,
+    "end": 8,
+}
+
+
+def run(cfg_kwargs, resume=False):
+    from bbcrawl_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(**cfg_kwargs)
+    return run_crawl(cfg, resume=resume)
+
+
+def test_crawl_order_parity_and_spans(ray_session, tmp_root):
+    """Documents sorted by (seed_id, page_num) = the pager's page order,
+    one doc per page, spans non-empty and offset-consecutive."""
+    res = run(
+        dict(
+            crawler=CrawlerSpec(crawler="src", tags=["img", "audio", "video"]),
+            seeds=[SEED],
+            output_root=tmp_root,
+        )
+    )
+    docs = res.documents.to_pandas().sort_values(["seed_id", "page_num"])
+    oracle = expand_seed(SEED)
+    assert list(docs["page_num"]) == [p for p, _ in oracle]
+    assert list(docs["url"]) == [u for _, u in oracle]
+    assert list(docs["doc_id"]) == [f"s1/{p}" for p, _ in oracle]
+    for spans in docs["spans"]:
+        offsets = [s["offset"] for s in spans]
+        assert offsets == list(range(len(spans)))
+        kinds = {s["kind"] for s in spans}
+        assert "text" in kinds and ("img" in kinds or "attachment" in kinds)
+
+
+def test_url_seen_dedup_reoffered(ray_session, tmp_root):
+    """The same URL offered by two seeds is fetched exactly once."""
+    seed2 = {**SEED, "seed_id": "s2"}  # same blueprint → same URLs
+    res = run(
+        dict(
+            crawler=CrawlerSpec(crawler="src", tags=["img"]),
+            seeds=[SEED, seed2],
+            output_root=tmp_root,
+        )
+    )
+    docs = res.documents.to_pandas()
+    # 8 pages total despite 16 frontier rows; first-wins across seeds
+    assert len(docs) == 8
+    assert sorted(docs["page_num"]) == list(range(1, 9))
+    assert sum(res.metrics[0]["seen_sizes"]) == 8
+
+
+def test_politeness_budget_defers(ray_session, tmp_root):
+    res = run(
+        dict(
+            crawler=CrawlerSpec(crawler="src", tags=["img"]),
+            seeds=[SEED],
+            output_root=tmp_root,
+            per_host_budget=3,
+            max_epochs=2,
+        )
+    )
+    # 3 pages in epoch 0 (best priority = lowest page numbers), 3 more in epoch 1
+    assert [m["pages_parsed"] for m in res.metrics] == [3, 3]
+    docs = res.documents.to_pandas().sort_values("page_num")
+    assert list(docs["page_num"]) == [1, 2, 3, 4, 5, 6]
+
+
+def test_checkpoint_resume_equivalence(ray_session, tmp_root):
+    """Run epochs 0-1, kill, resume 2-3 → identical union as one 4-epoch run."""
+    base = dict(
+        crawler=CrawlerSpec(crawler="src", tags=["img"]),
+        seeds=[SEED],
+        per_host_budget=2,
+    )
+    full = run({**base, "output_root": f"{tmp_root}/full", "max_epochs": 4})
+    full_docs = full.documents.to_pandas().sort_values("page_num")
+
+    part = run({**base, "output_root": f"{tmp_root}/part", "max_epochs": 2})
+    assert part.epochs_run == 2
+    resumed = run({**base, "output_root": f"{tmp_root}/part", "max_epochs": 2}, resume=True)
+    assert [m["epoch"] for m in resumed.metrics] == [2, 3]
+    from bbcrawl_ray.pipelines.crawl import read_parquet_dirs
+    from bbcrawl_ray import schemas
+
+    all_parsed = read_parquet_dirs(
+        [f"{tmp_root}/part/checkpoints/epoch={e:05d}/parsed" for e in range(4)],
+        schemas.PARSED,
+    )
+    part_docs = (
+        all_parsed.filter(expr="record_kind == 'doc'").to_pandas().sort_values("page_num")
+    )
+    assert list(part_docs["page_num"]) == list(full_docs["page_num"])
+    assert list(part_docs["doc_id"]) == list(full_docs["doc_id"])
+
+
+def test_mapping_transport_and_redirect_policies(ray_session, tmp_root):
+    url1 = "http://m.example/t"
+    url2 = "http://m.example/t/page2"
+    pages = {
+        url1: Response(
+            302, {"Location": ["http://m.example/real"]}, b"", "http://m.example/real"
+        ),
+        "http://m.example/real": Response(
+            200, {"Content-Type": ["text/html; charset=utf-8"]},
+            b'<html><body><img src="/i/a.jpg">ok</body></html>',
+        ),
+        url2: Response(200, {}, b"<html></html>"),  # missing content-type
+    }
+    seeds = [
+        {"seed_id": "m1", "pager": "vb4", "blueprint_url": url1, "start": 1, "end": 2}
+    ]
+    res = run(
+        dict(
+            crawler=CrawlerSpec(crawler="src", tags=["img"], allow_redirect=True),
+            seeds=seeds,
+            output_root=tmp_root,
+            transport="mapping",
+            pages=pages,
+        )
+    )
+    docs = res.documents.to_pandas()
+    man = res.manifest.to_pandas()
+    assert len(docs) == 1  # page 1 via redirect; page 2 errored (no content-type)
+    errs = man[man.status == "error"]
+    assert any("No Content-Type" in e for e in errs["error"])
+
+    # deny policy: the redirect itself is an error (redirect.go:16-22)
+    res2 = run(
+        dict(
+            crawler=CrawlerSpec(crawler="src", tags=["img"], allow_redirect=False),
+            seeds=seeds,
+            output_root=f"{tmp_root}/deny",
+            transport="mapping",
+            pages=pages,
+        )
+    )
+    man2 = res2.manifest.to_pandas()
+    assert any("Attempted Redirection" in e for e in man2["error"])
+
+
+def test_downloads_and_skip_exists(ray_session, tmp_root):
+    res = run(
+        dict(
+            crawler=CrawlerSpec(crawler="file"),
+            seeds=[
+                {
+                    "seed_id": "f1",
+                    "pager": "cutter",
+                    "blueprint_url": "http://files.example/img/photo1.jpg",
+                    "start": 1,
+                    "end": 3,
+                    "cut_index": 31,
+                    "cut_len": 1,
+                }
+            ],
+            output_root=tmp_root,
+            download_media=True,
+        )
+    )
+    man = res.manifest.to_pandas()
+    assert list(man["status"]) == ["ok"] * 3
+    names = sorted(man["out_name"])
+    assert names == ["1 - photo1.jpg", "2 - photo2.jpg", "3 - photo3.jpg"]
+    for n in names:
+        assert os.path.exists(f"{tmp_root}/files/{n}")
+    # rerun: blobs exist → skipped (reference downloader.go:267-273 parity)
+    res2 = run(
+        dict(
+            crawler=CrawlerSpec(crawler="file"),
+            seeds=[
+                {
+                    "seed_id": "f1",
+                    "pager": "cutter",
+                    "blueprint_url": "http://files.example/img/photo1.jpg",
+                    "start": 1,
+                    "end": 3,
+                    "cut_index": 31,
+                    "cut_len": 1,
+                }
+            ],
+            output_root=tmp_root,
+            download_media=True,
+        )
+    )
+    assert list(res2.manifest.to_pandas()["status"]) == ["skipped_exists"] * 3
