@@ -280,7 +280,10 @@ def q_supplier_lineitem_volume(sf_dir: str) -> Dataset:
 # registry + oracle SQL
 
 
+from .queries_text import TEXT_ORACLE_SQL, TEXT_QUERIES  # noqa: E402
+
 QUERIES: dict[str, Callable[[str], Dataset]] = {
+    **TEXT_QUERIES,
     "pager_query": q_pager_query,
     "pager_cutter": q_pager_cutter,
     "pager_vb4": q_pager_vb4,
@@ -297,6 +300,7 @@ QUERIES: dict[str, Callable[[str], Dataset]] = {
 
 
 ORACLE_SQL: dict[str, str] = {
+    **TEXT_ORACLE_SQL,
     "pager_query": """
         SELECT 's1' AS seed_id, i AS page_num,
                'http://forum.example/t?page=' || i AS url

@@ -1,0 +1,239 @@
+"""Driver-contract queries: training-data operators (text / dedup /
+similarity / multimodal) over the testdata ``documents`` and
+``embeddings`` tables, plus the crawl pipelines as rows-only entries.
+
+Both pyarrow and DuckDB use RE2, so regex-count oracles match exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from ..stages import dedup as D
+from ..stages import textops as T
+from ..stages.multimodal import DecodeConfig, decode_media
+from ..stages.similarity import knn_brute, knn_ivf
+from . import relops as R
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def q_token_counts(sf_dir: str) -> Dataset:
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return T.token_count_ds(ds).drop_columns(["text"])
+
+
+def q_quality_counts(sf_dir: str) -> Dataset:
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: T.add_quality_counts(t), batch_format="pyarrow"
+    ).drop_columns(["text"])
+
+
+def q_lang_detect(sf_dir: str) -> Dataset:
+    """Heuristic langid (rows-only: not SQL-expressible)."""
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(lambda t: T.add_lang(t), batch_format="pyarrow").drop_columns(
+        ["text"]
+    )
+
+
+def q_doc_fingerprints(sf_dir: str) -> Dataset:
+    """Rolling-hash fingerprints (rows-only)."""
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: T.add_fingerprint(t), batch_format="pyarrow"
+    ).drop_columns(["text"])
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+
+def q_dedup_exact(sf_dir: str) -> Dataset:
+    """Exact dedup on a 30-char content prefix (full texts are unique in
+    the synthetic corpus; the prefix makes real groups)."""
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    keyed = ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "key": pc.utf8_slice_codeunits(t["text"], 0, 30)}
+        ),
+        batch_format="pyarrow",
+    )
+    return D.exact_dedup(keyed, key="key", id_col="doc_id")
+
+
+def q_minhash_clusters(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup clusters (rows-only)."""
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = D.minhash_dedup(ds, threshold=0.5)
+    return out.sort_values(["doc_id"]).reset_index(drop=True)
+
+
+def q_simhash_pairs(sf_dir: str) -> Dataset:
+    """SimHash near-dup pairs, hamming ≤ 10 (rows-only)."""
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return D.simhash_near_dup(ds, max_hamming=10)
+
+
+def q_embedding_near_dup(sf_dir: str) -> Dataset:
+    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only;
+    LSH bucketing makes it approximate)."""
+    ds = R.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.48);
+    # τ=0.3 with 4 coarse planes surfaces the true high-similarity tail
+    return D.embedding_near_dup(ds, threshold=0.3, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    tbl = pa.concat_tables(
+        list(
+            R.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+            .filter(expr=f"vec_id < {n}")
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    df = tbl.to_pandas().sort_values("vec_id")
+    return np.stack(df["embedding"].to_numpy()), df["vec_id"].tolist()
+
+
+def q_embedding_knn(sf_dir: str) -> pd.DataFrame:
+    """Exact brute-force cosine top-5 for query vectors vec_id<5
+    (broadcast query matrix; DuckDB list_cosine_similarity oracle)."""
+    Q, qids = _query_vectors(sf_dir)
+    ds = R.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_brute(ds, Q, qids, k=5)
+
+
+def q_embedding_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-pruned approximate top-5 (rows-only: approximate by design)."""
+    Q, qids = _query_vectors(sf_dir)
+    ds = R.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_ivf(ds, Q, qids, k=5, n_cells=8, n_probe=3)
+
+
+# ---------------------------------------------------------------------------
+# multimodal (stubbed codec, real plumbing)
+
+
+def q_media_features(sf_dir: str) -> Dataset:
+    """Binary-payload decode stage over synthetic media built from the
+    documents table (rows-only; fake deterministic codec)."""
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.string()),
+                "media_ref": pc.binary_join_element_wise(
+                    pc.cast(t["source"], pa.string()), pc.cast(t["doc_id"], pa.string()), "/"
+                ),
+                "media_type": pa.array(["image/synthetic"] * len(texts)),
+                "payload": pa.array([x.encode() for x in texts], pa.large_binary()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    return decode_media(media, DecodeConfig(backend="fake"), concurrency=(1, 2)).drop_columns(
+        ["feature"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl pipelines as driver entries (rows-only; not SQL-expressible)
+
+
+def q_crawl_documents(sf_dir: str) -> Dataset:
+    """Flagship crawl → flattened span rows (scalar columns only)."""
+    from .entry import flagship
+
+    docs = flagship(sf_dir)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        out = {"doc_id": [], "offset": [], "kind": [], "text": [], "media_ref": []}
+        for r in rows:
+            for s in r["spans"]:
+                out["doc_id"].append(r["doc_id"])
+                out["offset"].append(s["offset"])
+                out["kind"].append(s["kind"])
+                out["text"].append(s["text"])
+                out["media_ref"].append(s["media_ref"])
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "offset": pa.array(out["offset"], pa.int32()),
+                "kind": pa.array(out["kind"], pa.string()),
+                "text": pa.array(out["text"], pa.string()),
+                "media_ref": pa.array(out["media_ref"], pa.string()),
+            }
+        )
+
+    return docs.map_batches(flatten, batch_format="pyarrow")
+
+
+TEXT_QUERIES = {
+    "token_counts": q_token_counts,
+    "quality_counts": q_quality_counts,
+    "lang_detect": q_lang_detect,
+    "doc_fingerprints": q_doc_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "minhash_clusters": q_minhash_clusters,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_knn": q_embedding_knn,
+    "embedding_knn_ivf": q_embedding_knn_ivf,
+    "media_features": q_media_features,
+    "crawl_documents": q_crawl_documents,
+}
+
+_BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_STOP_SQL = r"\b(" + "|".join(T._STOPWORDS) + r")\b"
+
+TEXT_ORACLE_SQL = {
+    "token_counts": r"""
+        SELECT doc_id,
+               length(regexp_extract_all(text, '\S+')) AS n_tokens,
+               length(regexp_extract_all(text, '{bpe}')) AS n_subtokens
+        FROM documents
+    """.replace("{bpe}", _BPE_SQL),
+    "quality_counts": r"""
+        SELECT doc_id,
+               length(text) AS n_chars_q,
+               length(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+               length(regexp_extract_all(text, '[0-9]')) AS n_digit,
+               length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+               length(regexp_extract_all(text, '\S+')) AS n_tokens,
+               length(regexp_extract_all(lower(text), '{stop}')) AS n_stopwords
+        FROM documents
+    """.replace("{stop}", _STOP_SQL),
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        FROM documents GROUP BY substr(text, 1, 30)
+    """,
+    "embedding_knn": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+             s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                          list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                                 CAST(e.embedding AS DOUBLE[])) AS score
+                   FROM q CROSS JOIN embeddings e
+                   WHERE e.vec_id != q.qid)
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM s
+        ) WHERE rank <= 5
+    """,
+}

@@ -1,0 +1,150 @@
+"""Text analysis over document tables — vectorized pyarrow kernels.
+
+Large-scale training-data operators (no reference counterpart; the
+engine extension mandated by the build brief): token counting, quality
+scoring, language ID, and document fingerprinting. All hot paths are
+``pyarrow.compute`` kernels or numpy over zero-copy Arrow batches;
+the only Python-per-row work is the langid profile scorer and the
+rolling-hash fingerprint (both stateful-table-free, stateless tasks).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + a BPE-ish regex variant)
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def add_token_counts(t: pa.Table, col: str = "text") -> pa.Table:
+    """n_tokens (whitespace runs) + n_subtokens (BPE-ish pieces), vectorized."""
+    return t.append_column(
+        "n_tokens", pc.count_substring_regex(t[col], r"\S+")
+    ).append_column("n_subtokens", pc.count_substring_regex(t[col], _BPE_ISH))
+
+
+def token_count_ds(ds: Dataset, col: str = "text") -> Dataset:
+    return ds.map_batches(lambda t: add_token_counts(t, col), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# quality scoring: integer counts (exact, oracle-safe) + derived ratios
+
+_STOPWORDS = "the and of a to in is it you that".split()
+_STOP_RE = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+
+
+def add_quality_counts(t: pa.Table, col: str = "text") -> pa.Table:
+    text = t[col]
+    return (
+        t.append_column("n_chars_q", pc.utf8_length(text))
+        .append_column("n_alpha", pc.count_substring_regex(text, r"[A-Za-z]"))
+        .append_column("n_digit", pc.count_substring_regex(text, r"[0-9]"))
+        .append_column("n_punct", pc.count_substring_regex(text, r"[^A-Za-z0-9\s]"))
+        .append_column("n_tokens", pc.count_substring_regex(text, r"\S+"))
+        .append_column(
+            "n_stopwords",
+            pc.count_substring_regex(pc.utf8_lower(text), _STOP_RE),
+        )
+    )
+
+
+def quality_score_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    """Counts + a [0,1] quality score (heuristic: alpha-ratio, stopword
+    presence, sane token length). Score is float — derived column, not
+    part of the exact-match oracle surface."""
+    t = add_quality_counts(t, col)
+    n_chars = t["n_chars_q"].to_numpy(zero_copy_only=False).astype(np.float64)
+    alpha = t["n_alpha"].to_numpy(zero_copy_only=False).astype(np.float64)
+    toks = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+    stop = t["n_stopwords"].to_numpy(zero_copy_only=False).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        alpha_ratio = np.where(n_chars > 0, alpha / n_chars, 0.0)
+        stop_ratio = np.where(toks > 0, stop / toks, 0.0)
+        avg_tok = np.where(toks > 0, n_chars / toks, 0.0)
+    len_ok = np.clip(1.0 - np.abs(avg_tok - 5.0) / 10.0, 0.0, 1.0)
+    score = 0.5 * alpha_ratio + 0.3 * np.clip(stop_ratio * 3, 0, 1) + 0.2 * len_ok
+    return t.append_column("quality_score", pa.array(score, pa.float64()))
+
+
+# ---------------------------------------------------------------------------
+# language ID — n-gram/stopword profile heuristic (stateless task; the
+# profiles are module constants, compiled once per process)
+
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "is", "you", "that", "it", "with"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu"},
+    "es": {"el", "la", "de", "que", "los", "una", "por", "con", "para"},
+    "fr": {"le", "la", "les", "des", "est", "une", "dans", "pour", "que"},
+}
+_WORD_RE = re.compile(r"[a-zA-Z]+")
+_CJK_RE = re.compile(r"[一-鿿]")
+
+
+def detect_lang(text: str) -> str:
+    if _CJK_RE.search(text):
+        return "zh"
+    words = _WORD_RE.findall(text.lower())
+    if not words:
+        return "und"
+    best, best_hits = "und", 0
+    for lang, stops in _LANG_PROFILES.items():
+        hits = sum(1 for w in words if w in stops)
+        if hits > best_hits:
+            best, best_hits = lang, hits
+    return best if best_hits > 0 else "und"
+
+
+def add_lang(t: pa.Table, col: str = "text") -> pa.Table:
+    langs = [detect_lang(x) for x in t[col].to_pylist()]
+    return t.append_column("detected_lang", pa.array(langs, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — rolling polynomial hash, min-window (winnowing-lite)
+
+_FP_BASE = 1099511628211
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def hash64_token(tok: str) -> int:
+    """FNV-1a over the token bytes (pure-int, wraps at 64 bits)."""
+    h = 14695981039346656037
+    for b in tok.encode("utf-8"):
+        h = ((h ^ b) * _FP_BASE) & _MASK64
+    return h
+
+
+def fingerprint(text: str, window: int = 5) -> int:
+    """Min polynomial rolling hash over ``window``-token windows — a
+    64-bit content fingerprint (winnowing-lite)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    th = [hash64_token(tok) for tok in toks]
+    if len(th) <= window:
+        h = 0
+        for v in th:
+            h = (h * _FP_BASE + v) & _MASK64
+        return h
+    best = None
+    for i in range(len(th) - window + 1):
+        h = 0
+        for v in th[i : i + window]:
+            h = (h * _FP_BASE + v) & _MASK64
+        if best is None or h < best:
+            best = h
+    return best
+
+
+def add_fingerprint(t: pa.Table, col: str = "text", window: int = 5) -> pa.Table:
+    fps = [fingerprint(x, window) for x in t[col].to_pylist()]
+    return t.append_column("fingerprint", pa.array(fps, pa.uint64()))

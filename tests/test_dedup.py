@@ -1,0 +1,155 @@
+"""Dedup + similarity + multimodal operator tests (Ray)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+BASE = (
+    "the streaming frontier engine fetches forum pages and extracts "
+    "interleaved spans of text and media for training data pipelines"
+)
+
+DOCS = [
+    (0, BASE),
+    (1, BASE + " extra"),  # near-dup of 0
+    (2, BASE.replace("forum", "board")),  # near-dup of 0
+    (3, "completely unrelated content about cooking pasta with tomatoes"),
+    (4, "another distinct document mentioning graph algorithms and heaps"),
+    (5, BASE),  # exact dup of 0
+]
+
+
+def docs_ds():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+                "text": pa.array([t for _, t in DOCS], pa.string()),
+            }
+        )
+    )
+
+
+def test_exact_dedup(ray_session):
+    from bbcrawl_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(docs_ds()).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc 5 collapses into doc 0's group
+    assert len(out) == 5
+    grp0 = out[out.doc_id == 0]
+    assert int(grp0["dup_count"].iloc[0]) == 2
+
+
+def test_minhash_dedup_clusters(ray_session):
+    from bbcrawl_ray.stages.dedup import minhash_dedup
+
+    clusters = minhash_dedup(docs_ds(), threshold=0.6)
+    by_doc = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    assert by_doc[0] == by_doc[1] == by_doc[2] == by_doc[5] == 0
+    assert 3 not in by_doc and 4 not in by_doc  # distinct docs uncluster
+
+
+def test_jaccard_and_shingles():
+    from bbcrawl_ray.stages.dedup import char_shingles
+
+    a, b = char_shingles(BASE), char_shingles(BASE + " extra")
+    j = len(a & b) / len(a | b)
+    assert j > 0.8
+    c = char_shingles("totally different")
+    assert len(a & c) / len(a | c) < 0.1
+
+
+def test_simhash_near_dup(ray_session):
+    from bbcrawl_ray.stages.dedup import simhash_near_dup, simhash64
+
+    assert simhash64(BASE) == simhash64(BASE)
+    pairs = simhash_near_dup(docs_ds(), max_hamming=6).to_pandas()
+    got = {tuple(x) for x in pairs[["left_id", "right_id"]].to_numpy()}
+    assert (0, 5) in got  # exact dup → hamming 0
+    assert (0, 1) in got or (0, 2) in got  # near-dups within radius
+    assert (3, 4) not in got
+
+
+def test_embedding_near_dup_and_knn(ray_session):
+    from bbcrawl_ray.stages.dedup import embedding_near_dup
+    from bbcrawl_ray.stages.similarity import knn_brute
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((50, 16)).astype(np.float32)
+    X[10] = X[3] + rng.standard_normal(16).astype(np.float32) * 0.01  # near-dup pair
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(50), pa.int64()),
+                "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float32())),
+            }
+        )
+    )
+    pairs = embedding_near_dup(ds, threshold=0.98, n_planes=6).to_pandas()
+    assert (3, 10) in {tuple(x) for x in pairs[["left_id", "right_id"]].to_numpy()}
+
+    # knn vs numpy oracle
+    knn = knn_brute(ds, X[:2], [0, 1], k=3)
+    Xn = X.astype(np.float64)
+    Xn = Xn / np.linalg.norm(Xn, axis=1, keepdims=True)
+    S = Xn[:2] @ Xn.T
+    for qid in (0, 1):
+        scores = S[qid].copy()
+        scores[qid] = -np.inf
+        expect = list(np.argsort(-scores)[:3])
+        got = list(knn[knn.query_id == qid].sort_values("rank")["neighbor_id"])
+        assert got == expect
+
+
+def test_knn_ivf_mostly_agrees(ray_session):
+    from bbcrawl_ray.stages.similarity import knn_brute, knn_ivf
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((200, 8)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(200), pa.int64()),
+                "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float32())),
+            }
+        )
+    )
+    exact = knn_brute(ds, X[:3], [0, 1, 2], k=5)
+    approx = knn_ivf(ds, X[:3], [0, 1, 2], k=5, n_cells=8, n_probe=4)
+    # recall@5 ≥ 0.6 across the 3 queries (probing half the cells)
+    hits = 0
+    for qid in (0, 1, 2):
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        a = set(approx[approx.query_id == qid]["neighbor_id"])
+        hits += len(e & a)
+    assert hits >= 9
+
+
+def test_decode_media_plumbing(ray_session):
+    from bbcrawl_ray.stages.multimodal import DecodeConfig, DecodeMedia, decode_media, frame_sample
+
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["d1", "d2"], pa.string()),
+                "media_ref": pa.array(["u1", "u2"], pa.string()),
+                "media_type": pa.array(["image/jpeg", "video/mp4"], pa.string()),
+                "payload": pa.array([b"\x01\x02", b"\x03\x04\x05"], pa.large_binary()),
+            }
+        )
+    )
+    feats = decode_media(media, concurrency=(1, 2))
+    df = feats.to_pandas()
+    assert list(df.columns) == [
+        "doc_id", "media_ref", "media_type", "width", "height", "n_frames", "feature",
+    ]
+    assert all(len(f) == 16 for f in df["feature"])
+    # deterministic: same payload → same dims
+    df2 = decode_media(media, concurrency=(1, 2)).to_pandas()
+    assert df["width"].tolist() == df2["width"].tolist()
+    sampled = frame_sample(feats, every_nth=1).to_pandas()
+    assert len(sampled) == df["n_frames"].sum()
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(DecodeConfig(backend="real"))
