@@ -75,19 +75,59 @@ class CrawlConfig:
     download_media: bool = False
     download_concurrency: tuple = (1, 4)
     strict_errors: bool = False
+    metrics_level: str = "full"  # full | lite (bench: skip per-status/per-seed aggregates)
+    fetch_mode: str = "auto"  # auto | actors | tasks (see FetchParse docstring)
 
 
-def read_parquet_dirs(dirs: list[str], schema: pa.Schema) -> Dataset:
+def parquet_row_count(d: str) -> int:
+    """Row count from parquet footers — zero Ray execution."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(f).num_rows for f in glob.glob(f"{d}/*.parquet")
+    )
+
+
+def read_parquet_dirs(
+    dirs: list[str], schema: pa.Schema, columns: list[str] | None = None
+) -> Dataset:
     """Read possibly-empty parquet directories (Ray's read_parquet treats
-    list entries as files, and chokes on empty dirs)."""
+    list entries as files, and chokes on empty dirs). ``columns`` prunes
+    at the read — metrics counts never deserialize the spans column."""
     import glob
 
     files: list[str] = []
     for d in dirs:
         files.extend(sorted(glob.glob(f"{d}/*.parquet")))
     if not files:
-        return rd.from_arrow(schemas.empty_table(schema))
+        tbl = schemas.empty_table(schema)
+        return rd.from_arrow(tbl.select(columns) if columns else tbl)
+    if columns:
+        return rd.read_parquet(files, columns=columns)
     return rd.read_parquet(files)
+
+
+class FetchParse:
+    """Fused fetch+parse stage: one pass per batch, bodies never cross a
+    stage boundary (they die inside the call, halving object-store
+    traffic vs separate fetch→parse operators).
+
+    Runs as an ACTOR POOL when the fetch state matters (politeness
+    clocks, robots cache, cookie jars, real HTTP) and as stateless
+    tasks otherwise — per-worker construction is amortized either way
+    (Ray deserializes the callable once per worker process).
+    """
+
+    def __init__(self, fetch_cfg, crawler_spec, strict_errors=False, discover_links=False):
+        self.fetcher = Fetcher(fetch_cfg)
+        self.parser = ParsePages(
+            crawler_spec, strict_errors=strict_errors, discover_links=discover_links
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.parser(self.fetcher(batch))
 
 
 @dataclass
@@ -121,7 +161,12 @@ def _seed_frontier(cfg: CrawlConfig) -> Dataset:
         "startpage": "",
     }
     rows = [{**defaults, **r} for r in cfg.seeds]
-    return rd.from_items(rows).map_batches(expand_seeds_batch, batch_format="pyarrow")
+    # one seed per block → expansion parallelizes across seeds
+    return (
+        rd.from_items(rows)
+        .repartition(len(rows))
+        .map_batches(expand_seeds_batch, batch_format="pyarrow", batch_size=1)
+    )
 
 
 def _links_to_frontier(links: pa.Table, epoch: int, seed_hosts: set[str], same_host: bool) -> pa.Table:
@@ -206,61 +251,90 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         budgeted = budget_frontier(frontier, cfg.per_host_budget, cfg.skew_split_threshold)
         frontier_dir = ckpt.write_part(epoch, "frontier", budgeted)
 
-        # -- fetch + parse (selected rows only, streamed once to parquet)
-        selected = read_parquet_dirs([frontier_dir], FRONTIER_BUDGETED).filter(
-            expr="selected == True"
+        # -- fetch + parse (selected rows only, streamed once to parquet).
+        # Repartition first: the frontier parquet may be a handful of
+        # files, and read parallelism = file count without it.
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        selected = (
+            read_parquet_dirs([frontier_dir], FRONTIER_BUDGETED)
+            .filter(expr="selected == True")
+            .repartition(max(8, ncpu * 4))
         )
         new_rows = selected.map_batches(SeenFilter(seen), batch_format="pyarrow")
-        pages = new_rows.map_batches(
-            Fetcher,
-            fn_constructor_args=(fetch_cfg,),
-            batch_format="pyarrow",
-            batch_size=cfg.fetch_batch_size,
-            concurrency=cfg.fetch_concurrency,
-            num_cpus=cfg.fetch_num_cpus,
+        stateful_fetch = (
+            cfg.min_host_delay_s > 0 or cfg.obey_robots or cfg.transport == "http"
         )
-        parsed = pages.map_batches(
-            ParsePages(
-                cfg.crawler,
-                strict_errors=cfg.strict_errors,
-                discover_links=cfg.follow_links,
-            ),
-            batch_format="pyarrow",
+        mode = cfg.fetch_mode
+        if mode == "auto":
+            mode = "actors" if stateful_fetch else "tasks"
+        fp_args = (fetch_cfg, cfg.crawler, cfg.strict_errors, cfg.follow_links)
+        if mode == "actors":
+            parsed = new_rows.map_batches(
+                FetchParse,
+                fn_constructor_args=fp_args,
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+                concurrency=cfg.fetch_concurrency,
+                num_cpus=cfg.fetch_num_cpus,
+            )
+        else:
+            holder: dict = {}
+
+            def fetch_parse(batch: pa.Table) -> pa.Table:
+                fp = holder.get("fp")
+                if fp is None:
+                    fp = holder["fp"] = FetchParse(*fp_args)
+                return fp(batch)
+
+            parsed = new_rows.map_batches(
+                fetch_parse, batch_format="pyarrow", batch_size=cfg.fetch_batch_size
+            )
+        # hive-partition by record_kind: doc/manifest/link land in their
+        # own directories, so every downstream read is directory-pruned
+        # and counts come from parquet footers with NO Ray execution
+        parsed_dir = ckpt.write_part(
+            epoch, "parsed", parsed, partition_cols=["record_kind"]
         )
-        parsed_dir = ckpt.write_part(epoch, "parsed", parsed)
         parsed_dirs.append(parsed_dir)
 
-        # -- downloads (actor pool; skip-if-exists = idempotent resume)
-        manifest = read_parquet_dirs([parsed_dir], schemas.PARSED).filter(
-            expr="record_kind == 'manifest'"
-        )
+        # -- downloads (actor pool; skip-if-exists = idempotent resume).
+        # Without downloads the parsed dir IS the manifest (filtered at
+        # read time) — no second full read/write of the epoch's rows.
         if cfg.download_media:
-            manifest = manifest.map_batches(
+            manifest = read_parquet_dirs(
+                [f"{parsed_dir}/record_kind=manifest"], schemas.PARSED
+            ).map_batches(
                 Downloader,
                 fn_constructor_args=(fetch_cfg, f"{cfg.output_root}/files"),
                 batch_format="pyarrow",
                 concurrency=cfg.download_concurrency,
                 num_cpus=cfg.fetch_num_cpus,
             )
-        manifest_dir = ckpt.write_part(epoch, "manifest", manifest)
+            manifest_dir = ckpt.write_part(epoch, "manifest", manifest)
+        else:
+            manifest_dir = f"{parsed_dir}/record_kind=manifest"
         manifest_dirs.append(manifest_dir)
 
-        # -- metrics + lineage (small aggregates over checkpointed parquet)
-        man_ds = read_parquet_dirs([manifest_dir], schemas.PARSED)
-        parsed_ds = read_parquet_dirs([parsed_dir], schemas.PARSED)
-        docs_count = parsed_ds.filter(expr="record_kind == 'doc'").count()
-        status_counts = {
-            r["status"]: r["count()"]
-            for r in man_ds.groupby("status").count().take_all()
-        }
-        per_seed = {
-            r["seed_id"]: r["count()"]
-            for r in parsed_ds.select_columns(["seed_id", "record_kind"])
-            .filter(expr="record_kind == 'doc'")
-            .groupby("seed_id")
-            .count()
-            .take_all()
-        }
+        # -- metrics + lineage (footer counts are free; aggregates only
+        # in full mode)
+        docs_count = parquet_row_count(f"{parsed_dir}/record_kind=doc")
+        if cfg.metrics_level == "full":
+            man_ds = read_parquet_dirs([manifest_dir], schemas.PARSED, columns=["status"])
+            status_counts = {
+                r["status"]: r["count()"]
+                for r in man_ds.groupby("status").count().take_all()
+            }
+            per_seed = {
+                r["seed_id"]: r["count()"]
+                for r in read_parquet_dirs(
+                    [f"{parsed_dir}/record_kind=doc"], schemas.PARSED, columns=["seed_id"]
+                )
+                .groupby("seed_id")
+                .count()
+                .take_all()
+            }
+        else:
+            status_counts, per_seed = {}, {}
         metrics = {
             "epoch": epoch,
             "pages_parsed": docs_count,
@@ -281,8 +355,8 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         )
         next_parts = [deferred.drop_columns(["selected", "host_shard"])]
         if cfg.follow_links:
-            links = read_parquet_dirs([parsed_dir], schemas.PARSED).filter(
-                expr="record_kind == 'link'"
+            links = read_parquet_dirs(
+                [f"{parsed_dir}/record_kind=link"], schemas.PARSED
             )
             next_epoch, same_host = epoch + 1, cfg.same_host_only
             discovered = links.map_batches(
@@ -296,15 +370,10 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         if epoch + 1 < start_epoch + cfg.max_epochs and frontier.count() == 0:
             break
 
-    documents = (
-        read_parquet_dirs(parsed_dirs, schemas.PARSED)
-        .filter(expr="record_kind == 'doc'")
-        .select_columns(["doc_id", "spans", "seed_id", "page_num", "url", "record_kind"])
-        .drop_columns(["record_kind"])
-    )
-    manifest = read_parquet_dirs(manifest_dirs, schemas.PARSED).filter(
-        expr="record_kind == 'manifest'"
-    )
+    documents = read_parquet_dirs(
+        [f"{d}/record_kind=doc" for d in parsed_dirs], schemas.PARSED
+    ).select_columns(["doc_id", "spans", "seed_id", "page_num", "url"])
+    manifest = read_parquet_dirs(manifest_dirs, schemas.PARSED)
     return CrawlResult(documents, manifest, metrics_all, epochs_run, ckpt.root)
 
 

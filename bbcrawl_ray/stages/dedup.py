@@ -57,17 +57,24 @@ def exact_dedup_keep_first(ds: Dataset, key: str = "text") -> Dataset:
 # shingles + minhash
 
 
-def char_shingles(text: str, k: int = 5) -> set[int]:
-    """Hashed char k-grams (lowercased); short docs yield the whole text."""
-    t = text.lower()
-    if len(t) <= k:
-        grams = [t] if t else []
-    else:
-        grams = [t[i : i + k] for i in range(len(t) - k + 1)]
-    out = set()
-    for g in grams:
-        out.add(int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"))
-    return out
+_SHINGLE_BASE = np.uint64(1099511628211)
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Hashed char k-grams (lowercased) as a sorted unique uint64 array.
+
+    Fully vectorized: byte windows × polynomial powers, wrapping mod
+    2^64 (numpy array integer ops wrap silently) — no per-gram hashing.
+    """
+    t = text.lower().encode("utf-8")
+    if not t:
+        return np.empty(0, dtype=np.uint64)
+    a = np.frombuffer(t, dtype=np.uint8)
+    kk = min(k, len(a))
+    win = np.lib.stride_tricks.sliding_window_view(a, kk)
+    pows = np.cumprod(np.full(kk, _SHINGLE_BASE, dtype=np.uint64)) // _SHINGLE_BASE
+    h = (win.astype(np.uint64) * pows[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h)
 
 
 # 64 fixed affine permutations over the 61-bit Mersenne prime
@@ -77,10 +84,10 @@ _PERM_A = (_RNG.integers(1, _MP, size=64, dtype=np.int64)).astype(np.uint64)
 _PERM_B = (_RNG.integers(0, _MP, size=64, dtype=np.int64)).astype(np.uint64)
 
 
-def minhash_signature(shingles: set[int], num_perm: int = 64) -> np.ndarray:
-    if not shingles:
+def minhash_signature(shingles: np.ndarray, num_perm: int = 64) -> np.ndarray:
+    if len(shingles) == 0:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    h = np.fromiter(shingles, dtype=np.uint64, count=len(shingles)) & np.uint64(_MP)
+    h = shingles & np.uint64(_MP)
     a = _PERM_A[:num_perm, None]
     b = _PERM_B[:num_perm, None]
     vals = (a * h[None, :] + b) % np.uint64(_MP)
@@ -130,33 +137,51 @@ class MinHashStage:
         )
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket (cap guards a degenerate
-    bucket from exploding quadratically; log-visible via pair_capped)."""
-    ids = sorted(g["doc_id"].unique())
-    cap = 200
-    capped = len(ids) > cap
-    ids = ids[:cap]
+_PAIR_CAP = 200  # per-bucket cap guards a degenerate bucket's O(n²) blowup
+
+
+def _shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Pairs for every ≥2-member bucket inside one hash shard — a pandas
+    groupby over the shard (vectorized), not a per-bucket UDF call."""
     left, right = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            left.append(ids[i])
-            right.append(ids[j])
-    return pd.DataFrame(
-        {"left_id": left, "right_id": right, "pair_capped": [capped] * len(left)}
-    )
+    multi = g.groupby(["band_id", "band_hash"])["doc_id"]
+    for _, ids in multi:
+        if len(ids) < 2:
+            continue
+        u = np.sort(ids.unique())[:_PAIR_CAP]
+        for i in range(len(u)):
+            for j in range(i + 1, len(u)):
+                left.append(u[i])
+                right.append(u[j])
+    df = pd.DataFrame({"left_id": left, "right_id": right})
+    return df.drop_duplicates()
 
 
-def minhash_candidates(ds: Dataset, **stage_kw) -> Dataset:
-    """documents → distinct candidate pairs from banded minhash LSH."""
+def minhash_candidates(ds: Dataset, shards: int = 32, **stage_kw) -> Dataset:
+    """documents → distinct candidate pairs from banded minhash LSH.
+
+    Two-level scheme: band rows shuffle on a COARSE shard key
+    (hash(band) % shards) so the grouped stage runs one vectorized
+    pandas groupby per shard instead of one Python call per bucket —
+    buckets are almost all singletons, and per-group UDF overhead at
+    ~1M buckets would dwarf the real work.
+    """
     bands_ds = ds.map_batches(MinHashStage(**stage_kw), batch_format="pyarrow")
-    pairs = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-    # distinct (left,right) — same pair can surface from several bands
-    return pairs.groupby(["left_id", "right_id"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        bh = t["band_hash"].to_numpy(zero_copy_only=False)
+        bid = t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        shard = ((bh ^ (bid * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(shards)).astype(
+            np.int32
+        )
+        return t.append_column("shard", pa.array(shard))
+
+    sharded = bands_ds.map_batches(add_shard, batch_format="pyarrow")
+    # NOTE: a pair can surface from several bands (different shards) —
+    # downstream consumers (Jaccard verify → union-find) are idempotent,
+    # so no distinct-shuffle is spent on it; the verify stage dedups
+    # per batch to halve repeat work.
+    return sharded.groupby("shard").map_groups(_shard_pairs, batch_format="pandas")
 
 
 class JaccardVerify:
@@ -186,9 +211,11 @@ class JaccardVerify:
 
         for l, r in zip(lefts, rights):
             a, b = sh(l), sh(r)
-            if not a and not b:
+            if len(a) == 0 and len(b) == 0:
                 continue
-            j = len(a & b) / max(1, len(a | b))
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            j = inter / max(1, union)
             if j >= self.threshold:
                 keep_l.append(l)
                 keep_r.append(r)
@@ -258,7 +285,7 @@ def minhash_dedup(
         concurrency=2,
         num_cpus=0.5,
     )
-    pairs = verified.to_pandas()
+    pairs = verified.to_pandas().drop_duplicates(["left_id", "right_id"])
     return connected_components(pairs)
 
 
@@ -269,16 +296,14 @@ from .textops import hash64_token  # noqa: E402
 
 
 def simhash64(text: str) -> int:
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.lower().split():
-        h = hash64_token(tok)
-        for bit in range(64):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if acc[bit] > 0:
-            out |= 1 << bit
-    return out
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    hs = np.array([hash64_token(t) for t in toks], dtype=np.uint64)
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    acc = bits.astype(np.int32).sum(axis=0) * 2 - len(toks)
+    out_bits = (acc > 0).astype(np.uint8)
+    return int(np.packbits(out_bits, bitorder="little").view(np.uint64)[0])
 
 
 def add_simhash(t: pa.Table, text_col: str = "text") -> pa.Table:

@@ -51,7 +51,7 @@ class CheckpointManager:
                 latest = e if latest is None else max(latest, e)
         return latest
 
-    def write_part(self, epoch: int, part: str, ds: Dataset) -> str:
+    def write_part(self, epoch: int, part: str, ds: Dataset, **write_kwargs) -> str:
         """Write one epoch part atomically-enough: stale files from a
         previous (killed) attempt are cleared first so a re-run never
         mixes generations in one directory."""
@@ -64,7 +64,7 @@ class CheckpointManager:
         if os.path.exists(marker):
             os.remove(marker)  # epoch is being rewritten → no longer complete
         os.makedirs(out, exist_ok=True)
-        ds.write_parquet(out)
+        ds.write_parquet(out, **write_kwargs)
         return out
 
     def clear(self) -> None:

@@ -34,9 +34,22 @@ def budget_frontier(
     """Adds ``selected`` (fetch this epoch?) and ``host_shard`` columns.
 
     Selection order within a host: priority desc, then page_num asc,
-    then url (total, deterministic). Without a budget every row is
-    selected but skew splitting still applies.
+    then url (total, deterministic).
+
+    Fast path: with no budget there is nothing to rank, so the
+    host-keyed shuffle is skipped entirely — a vectorized map adds
+    selected=True / host_shard=host (hot-host skew splitting only
+    matters when a budget makes the per-host choice).
     """
+    if per_host_budget is None:
+        import pyarrow as pa
+
+        def mark_all(t: "pa.Table") -> "pa.Table":
+            return t.append_column(
+                "selected", pa.array(np.ones(t.num_rows, dtype=bool))
+            ).append_column("host_shard", t["host"])
+
+        return frontier.map_batches(mark_all, batch_format="pyarrow")
 
     def per_host(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(

@@ -143,7 +143,7 @@ class _CuckooSeen:
 _IMPLS = {"exact": _ExactSeen, "bloom": _BloomSeen, "cuckoo": _CuckooSeen}
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0.1)
 class SeenShard:
     """One membership shard; calls serialize on the actor → atomic batches."""
 

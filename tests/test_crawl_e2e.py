@@ -112,12 +112,13 @@ def test_checkpoint_resume_equivalence(ray_session, tmp_root):
     from bbcrawl_ray import schemas
 
     all_parsed = read_parquet_dirs(
-        [f"{tmp_root}/part/checkpoints/epoch={e:05d}/parsed" for e in range(4)],
+        [
+            f"{tmp_root}/part/checkpoints/epoch={e:05d}/parsed/record_kind=doc"
+            for e in range(4)
+        ],
         schemas.PARSED,
     )
-    part_docs = (
-        all_parsed.filter(expr="record_kind == 'doc'").to_pandas().sort_values("page_num")
-    )
+    part_docs = all_parsed.to_pandas().sort_values("page_num")
     assert list(part_docs["page_num"]) == list(full_docs["page_num"])
     assert list(part_docs["doc_id"]) == list(full_docs["doc_id"])
 

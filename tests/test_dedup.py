@@ -54,11 +54,14 @@ def test_minhash_dedup_clusters(ray_session):
 def test_jaccard_and_shingles():
     from bbcrawl_ray.stages.dedup import char_shingles
 
+    import numpy as np
+
     a, b = char_shingles(BASE), char_shingles(BASE + " extra")
-    j = len(a & b) / len(a | b)
-    assert j > 0.8
+    inter = np.intersect1d(a, b).size
+    assert inter / (a.size + b.size - inter) > 0.8
     c = char_shingles("totally different")
-    assert len(a & c) / len(a | c) < 0.1
+    inter_c = np.intersect1d(a, c).size
+    assert inter_c / (a.size + c.size - inter_c) < 0.1
 
 
 def test_simhash_near_dup(ray_session):
