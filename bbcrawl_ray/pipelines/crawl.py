@@ -77,6 +77,7 @@ class CrawlConfig:
     strict_errors: bool = False
     metrics_level: str = "full"  # full | lite (bench: skip per-status/per-seed aggregates)
     fetch_mode: str = "auto"  # auto | actors | tasks (see FetchParse docstring)
+    cookies: dict = field(default_factory=dict)  # {host: {name: value}} broadcast to fetchers
 
 
 def parquet_row_count(d: str) -> int:
@@ -147,6 +148,7 @@ def _fetch_cfg(cfg: CrawlConfig, pages_ref) -> FetchConfig:
         allow_redirect=cfg.crawler.allow_redirect,
         obey_robots=cfg.obey_robots,
         min_host_delay_s=cfg.min_host_delay_s,
+        cookies=cfg.cookies,
     )
 
 
@@ -262,7 +264,10 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         )
         new_rows = selected.map_batches(SeenFilter(seen), batch_format="pyarrow")
         stateful_fetch = (
-            cfg.min_host_delay_s > 0 or cfg.obey_robots or cfg.transport == "http"
+            cfg.min_host_delay_s > 0
+            or cfg.obey_robots
+            or bool(cfg.cookies)
+            or cfg.transport == "http"
         )
         mode = cfg.fetch_mode
         if mode == "auto":

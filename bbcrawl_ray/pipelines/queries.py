@@ -276,6 +276,87 @@ def q_supplier_lineitem_volume(sf_dir: str) -> Dataset:
     )
 
 
+def q_events_sessions(sf_dir: str) -> Dataset:
+    """Sessionization (streaming window): events partitioned by user,
+    sorted by ts within the group, 30-minute-gap session breaks —
+    Ray Data has no event-time windows, so this is the canonical
+    ``groupby(key).map_groups(sorted pandas window)`` pattern
+    (ordering assumption: per-user event order = ts order)."""
+    ds = R.read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        session_id = gap.cumsum() + 1  # first row: diff=NaT → False → still 1
+        out = (
+            g.assign(session_id=session_id)
+            .groupby("session_id")
+            .agg(n_events=("ts", "size"), session_start=("ts", "min"))
+            .reset_index()
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        return out[["user_id", "session_id", "n_events", "session_start"]]
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def q_brand_price_stats(sf_dir: str) -> Dataset:
+    """Min/Max/Sum grouped aggregates (raw doubles pass through min/max
+    unchanged — value-hash safe)."""
+    ds = R.read_table(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "p_retailprice": t["p_retailprice"],
+                "size_sum": pc.cast(t["p_size"], pa.int64()),
+            }
+        )
+
+    return R.group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["p_brand"],
+        {
+            "min_price": ("min", "p_retailprice"),
+            "max_price": ("max", "p_retailprice"),
+            "size_sum": ("sum", "size_sum"),
+            "part_count": ("count", None),
+        },
+    )
+
+
+def q_urgent_or_big_orders(sf_dir: str) -> Dataset:
+    """Union + distinct (set op): urgent-priority orders ∪ orders > 450k."""
+    urgent = R.read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey"],
+        filter_expr=(pc.field("o_orderpriority") == pa.scalar("1-URGENT")),
+    )
+    big = R.read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey"],
+        filter_expr=(pc.field("o_totalprice") > pa.scalar(450000.0)),
+    )
+    return R.distinct(urgent.union(big), ["o_orderkey"])
+
+
+def q_shipdate_range(sf_dir: str) -> Dataset:
+    """Min/Max over timestamps per group."""
+    ds = R.read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_shipdate"])
+    return R.group_aggregate(
+        ds,
+        ["l_returnflag"],
+        {
+            "first_ship": ("min", "l_shipdate"),
+            "last_ship": ("max", "l_shipdate"),
+            "n_items": ("count", None),
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -296,6 +377,10 @@ QUERIES: dict[str, Callable[[str], Dataset]] = {
     "customers_no_big_orders": q_customers_no_big_orders,
     "events_hourly": q_events_hourly,
     "supplier_lineitem_volume": q_supplier_lineitem_volume,
+    "events_sessions": q_events_sessions,
+    "brand_price_stats": q_brand_price_stats,
+    "urgent_or_big_orders": q_urgent_or_big_orders,
+    "shipdate_range": q_shipdate_range,
 }
 
 
@@ -377,5 +462,42 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS item_count
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_name
+    """,
+    "events_sessions": """
+        WITH d AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM d)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) AS session_start
+        FROM s GROUP BY user_id, session_id
+    """,
+    "brand_price_stats": """
+        SELECT p_brand,
+               MIN(p_retailprice) AS min_price,
+               MAX(p_retailprice) AS max_price,
+               SUM(CAST(p_size AS BIGINT)) AS size_sum,
+               COUNT(*) AS part_count
+        FROM part GROUP BY p_brand
+    """,
+    "urgent_or_big_orders": """
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0
+    """,
+    "shipdate_range": """
+        SELECT l_returnflag,
+               MIN(l_shipdate) AS first_ship,
+               MAX(l_shipdate) AS last_ship,
+               COUNT(*) AS n_items
+        FROM lineitem GROUP BY l_returnflag
     """,
 }

@@ -124,7 +124,7 @@ class SyntheticTransport:
     def __init__(self, cfg: CorpusConfig | None = None):
         self.cfg = cfg or CorpusConfig()
 
-    def get(self, url: str) -> Response:
+    def get(self, url: str, headers: dict | None = None) -> Response:
         cfg = self.cfg
         s = urlsplit(url)
         path = s.path or "/"
@@ -177,7 +177,7 @@ class MappingTransport:
     def __init__(self, pages: dict[str, Response]):
         self.pages = pages
 
-    def get(self, url: str) -> Response:
+    def get(self, url: str, headers: dict | None = None) -> Response:
         resp = self.pages.get(url)
         if resp is None:
             return Response(404, {"Content-Type": ["text/html; charset=utf-8"]}, b"not found")
@@ -192,11 +192,12 @@ class HttpTransport:
         self.timeout = timeout
         self.user_agent = user_agent
 
-    def get(self, url: str) -> Response:
+    def get(self, url: str, headers: dict | None = None) -> Response:
         import urllib.error
         import urllib.request
 
-        req = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
+        req_headers = {"User-Agent": self.user_agent, **(headers or {})}
+        req = urllib.request.Request(url, headers=req_headers)
 
         class _NoRedirect(urllib.request.HTTPRedirectHandler):
             def redirect_request(self, req, fp, code, msg, headers, newurl):

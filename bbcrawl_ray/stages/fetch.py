@@ -125,12 +125,18 @@ class Fetcher:
         s = urlsplit(url)
         if not self._robots_allowed(host, s.scheme or "http", s.path or "/"):
             return Response(), [], "blocked by robots.txt"
+        req_headers = {}
+        jar = self.cookie_jar.get(host)
+        if jar:
+            # jar seeded once from broadcast config (reference parity:
+            # cookies load on first use, crawlers.go:96-111)
+            req_headers["Cookie"] = "; ".join(f"{k}={v}" for k, v in jar.items())
         chain: list[str] = []
         current = url
         for _hop in range(MAX_REDIRECTS + 2):
             self._wait_turn(host)
             try:
-                resp = self.transport.get(current)
+                resp = self.transport.get(current, headers=req_headers or None)
             except Exception as e:  # transport failure
                 return Response(), chain, f"fetch failed: {e}"
             if resp.status in (301, 302, 303, 307, 308) and resp.redirect_to:

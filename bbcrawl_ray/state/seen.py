@@ -92,7 +92,10 @@ class _CuckooSeen:
         self._rng = np.random.default_rng(0xC0FFEE)
 
     def _fp(self, h: np.ndarray) -> np.ndarray:
-        fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        # mix before truncating: low-entropy keys must not collapse to
+        # one fingerprint
+        mixed = (h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(48)
+        fp = (mixed & np.uint64(0xFFFF)).astype(np.uint16)
         fp[fp == 0] = 1
         return fp
 
