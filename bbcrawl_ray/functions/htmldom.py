@@ -123,6 +123,16 @@ def elements_by_tag(root: Node, *tags: str) -> list[Node]:
     return [n for n in walk(root) if n.tag in tagset]
 
 
+def elements_by_tag_and_attrs(root: Node, tag: str, attrs: list[tuple[str, str]]) -> list[Node]:
+    """All ``tag`` elements carrying ALL given attrs exactly —
+    libhtml.go:91-113 (utility surface, unused by the reference crawlers)."""
+    out = []
+    for n in walk(root):
+        if n.tag == tag and match_attrs(n, attrs):
+            out.append(n)
+    return out
+
+
 def match_attrs(node: Node, attrs: list[tuple[str, str]]) -> bool:
     """Node must carry ALL given (key, value) attrs exactly; an empty
     requirement set always matches — libhtml.go:124-142."""

@@ -149,6 +149,7 @@ def _fetch_cfg(cfg: CrawlConfig, pages_ref) -> FetchConfig:
         obey_robots=cfg.obey_robots,
         min_host_delay_s=cfg.min_host_delay_s,
         cookies=cfg.cookies,
+        debug_dir=f"{cfg.output_root}/debug" if cfg.crawler.debug else "",
     )
 
 

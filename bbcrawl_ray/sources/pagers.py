@@ -163,6 +163,14 @@ _EXPANDERS = {
 }
 
 
+def register_pager(name: str, expander) -> None:
+    """User-extension surface (reference registry, api.go:21-25):
+    ``expander(seed_row) -> iterable[(page_num, url)]``. Registered
+    pagers are picked up by ``expand_seed`` / the crawl pipeline via the
+    seeds-table ``pager`` column."""
+    _EXPANDERS[name] = expander
+
+
 def expand_seed(seed_row: dict) -> list[tuple[int, str]]:
     """Expand one seeds-table row (FIXTURES.md §F1) into (page_num, url) pairs."""
     pager = seed_row["pager"]

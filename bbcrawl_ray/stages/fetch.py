@@ -48,6 +48,8 @@ class FetchConfig:
     obey_robots: bool = False  # engine extension (reference has none)
     min_host_delay_s: float = 0.0  # politeness: min spacing between hits per host
     cookies: dict = field(default_factory=dict)  # broadcast cookie set
+    debug_dir: str = ""  # when set: dump request/response headers per fetch
+    # (reference -debug, crawlers.go:55-82 "{n} - Request Header.txt")
 
 
 def parse_content_type(ct: str) -> tuple[str, str]:
@@ -96,6 +98,25 @@ class Fetcher:
         if cfg.cookies:
             for host, jar in cfg.cookies.items():
                 self.cookie_jar[host] = dict(jar)
+        self.debug_counter = 0  # per-worker ordinal for header dumps
+
+    def _debug_dump(self, name: str, headers: dict) -> None:
+        """Reference -debug parity (crawlers.go:55-82): one text file per
+        header set, "{n} - {name}.txt", one "key:\\tvalue" line per value.
+        The ordinal is per worker (the reference's is per process)."""
+        if not self.cfg.debug_dir:
+            return
+        import os
+
+        os.makedirs(self.cfg.debug_dir, exist_ok=True)
+        pid = os.getpid()
+        path = os.path.join(self.cfg.debug_dir, f"{pid}-{self.debug_counter} - {name}.txt")
+        self.debug_counter += 1
+        with open(path, "w") as f:
+            for k, vals in headers.items():
+                vs = vals if isinstance(vals, list) else [vals]
+                for v in vs:
+                    f.write(f"{k}:\t{v}\n")
 
     # -- politeness -------------------------------------------------------
     def _wait_turn(self, host: str) -> None:
@@ -135,10 +156,12 @@ class Fetcher:
         current = url
         for _hop in range(MAX_REDIRECTS + 2):
             self._wait_turn(host)
+            self._debug_dump("Request Header", req_headers)
             try:
                 resp = self.transport.get(current, headers=req_headers or None)
             except Exception as e:  # transport failure
                 return Response(), chain, f"fetch failed: {e}"
+            self._debug_dump("Response Header", resp.headers)
             if resp.status in (301, 302, 303, 307, 308) and resp.redirect_to:
                 if not self.cfg.allow_redirect:
                     # redirect.Deny (redirect.go:16-22)

@@ -1,0 +1,122 @@
+"""Coverage for the remaining §2 surface: exclusion, strict errors,
+debug dumps, custom-pager registry, charset decode, tag+attrs query."""
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from bbcrawl_ray.cli.partition import CrawlerSpec
+from bbcrawl_ray.functions.htmldom import elements_by_tag_and_attrs, parse_html
+from bbcrawl_ray.sources.corpus import Response
+from bbcrawl_ray.sources.pagers import expand_seed, register_pager
+
+
+@pytest.fixture()
+def tmp_root():
+    d = tempfile.mkdtemp(prefix="bbray_misc_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_elements_by_tag_and_attrs():
+    root = parse_html('<div a="1" b="2">x</div><div a="1">y</div><span a="1" b="2"></span>')
+    hits = elements_by_tag_and_attrs(root, "div", [("a", "1"), ("b", "2")])
+    assert len(hits) == 1
+    assert elements_by_tag_and_attrs(root, "div", []) and len(
+        elements_by_tag_and_attrs(root, "div", [])
+    ) == 2  # empty attr set matches every div
+
+
+def test_custom_pager_registry():
+    def evens(row):
+        for p in range(row["start"], row["end"] + 1):
+            yield p, f"{row['blueprint_url']}/e{2 * p}"
+
+    register_pager("evens", evens)
+    rows = expand_seed(
+        {"seed_id": "x", "pager": "evens", "blueprint_url": "http://h.example/t", "start": 1, "end": 3}
+    )
+    assert rows == [
+        (1, "http://h.example/t/e2"),
+        (2, "http://h.example/t/e4"),
+        (3, "http://h.example/t/e6"),
+    ]
+
+
+def _one_page_crawl(tmp_root, pages, crawler, **cfg_kw):
+    from bbcrawl_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(
+        crawler=crawler,
+        seeds=[{"seed_id": "m", "pager": "vb4", "blueprint_url": "http://m.example/t", "start": 1, "end": 1}],
+        output_root=tmp_root,
+        transport="mapping",
+        pages=pages,
+        **cfg_kw,
+    )
+    return run_crawl(cfg)
+
+
+HTML_ONE_IMG = b'<html><body><img src="/i/a.jpg"><img src="http://m.example/i/b.jpg"></body></html>'
+PAGE_OK = {
+    "http://m.example/t": Response(
+        200, {"Content-Type": ["text/html; charset=utf-8"]}, HTML_ONE_IMG
+    )
+}
+
+
+def test_exclude_list_marks_rows(ray_session, tmp_root):
+    """-exclude is ENFORCED here (the reference parses but never applies
+    it — crawler_src.go:215-222 has no callers; documented divergence)."""
+    res = _one_page_crawl(
+        tmp_root,
+        PAGE_OK,
+        CrawlerSpec(crawler="src", tags=["img"], exclude=["http://m.example/i/a.jpg"]),
+    )
+    man = res.manifest.to_pandas()
+    by_ref = dict(zip(man["media_ref"], man["status"]))
+    assert by_ref["http://m.example/i/a.jpg"] == "excluded"
+    assert by_ref["http://m.example/i/b.jpg"] == "pending"
+
+
+def test_strict_errors_aborts(ray_session, tmp_root):
+    """Reference parity: a page fetch error aborts the run (api.go:104-113)."""
+    pages = {
+        "http://m.example/t": Response(500, {"Content-Type": ["text/html"]}, b"")
+    }
+    with pytest.raises(Exception, match="page fetch failed|RayTaskError"):
+        res = _one_page_crawl(
+            tmp_root, pages, CrawlerSpec(crawler="src", tags=["img"]), strict_errors=True
+        )
+        res.documents.to_pandas()
+
+
+def test_debug_header_dumps(ray_session, tmp_root):
+    res = _one_page_crawl(
+        tmp_root, PAGE_OK, CrawlerSpec(crawler="src", tags=["img"], debug=True)
+    )
+    res.documents.to_pandas()
+    dumps = sorted(glob.glob(f"{tmp_root}/debug/*.txt"))
+    assert any("Request Header" in d for d in dumps)
+    assert any("Response Header" in d for d in dumps)
+    resp_dump = [d for d in dumps if "Response Header" in d][0]
+    assert "Content-Type:\ttext/html; charset=utf-8" in open(resp_dump).read()
+
+
+def test_non_utf8_charset_decode(ray_session, tmp_root):
+    """BodyUTF8 parity: charset from Content-Type drives the decode."""
+    body = '<html><body><p>café motor</p><img src="/x.jpg"></body></html>'.encode(
+        "iso-8859-1"
+    )
+    pages = {
+        "http://m.example/t": Response(
+            200, {"Content-Type": ["text/html; charset=ISO-8859-1"]}, body
+        )
+    }
+    res = _one_page_crawl(tmp_root, pages, CrawlerSpec(crawler="src", tags=["img"]))
+    docs = res.documents.to_pandas()
+    texts = [s["text"] for s in docs.iloc[0]["spans"] if s["kind"] == "text"]
+    assert "café motor" in texts
