@@ -73,10 +73,18 @@ def parse_html(text: str) -> Node:
 
 
 def walk(node: Node) -> Iterator[Node]:
-    """Pre-order DFS (reference walkTree pre-hook order, libhtml.go:13-26)."""
-    yield node
-    for child in node.children:
-        yield from walk(child)
+    """Pre-order DFS (reference walkTree pre-hook order, libhtml.go:13-26).
+
+    Iterative (explicit stack): the recursive generator version spends
+    most of its time resuming nested generator frames on deep trees."""
+    stack = [node]
+    pop = stack.pop
+    while stack:
+        n = pop()
+        yield n
+        children = n.children
+        if children:
+            stack.extend(reversed(children))
 
 
 def attr_val(node: Node, key: str) -> str:

@@ -19,7 +19,16 @@ counterpart): ``canonicalize_url``, ``hash64`` / ``hash64_batch``.
 from __future__ import annotations
 
 import hashlib
+import re
+from functools import lru_cache
 from urllib.parse import parse_qsl, quote, urlencode, urljoin, urlsplit, urlunsplit
+
+# parse results are immutable → safe to memoize; page URLs repeat for
+# every link on the page, so this removes most urlsplit work in the
+# extraction hot path
+_urlsplit = lru_cache(maxsize=8192)(urlsplit)
+
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
 
 
 class UrlError(ValueError):
@@ -42,7 +51,7 @@ def file_name_from_url(url: str) -> str:
 
 def is_abs(url: str) -> bool:
     """True when the URL has a scheme (Go ``url.IsAbs`` semantics)."""
-    return urlsplit(url).scheme != ""
+    return _SCHEME_RE.match(url) is not None
 
 
 def base_url_only(url: str) -> str:
@@ -68,7 +77,7 @@ def rel2abs(page_url: str, link: str) -> str:
     Rebuilds from the page's scheme + hostname + the link's request-URI,
     discarding the page's path context and port.
     """
-    d = urlsplit(page_url)
+    d = _urlsplit(page_url)
     if not d.scheme:
         raise UrlError("page_url must be absolute")
     if is_abs(link):

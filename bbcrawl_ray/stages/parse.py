@@ -324,34 +324,58 @@ class ParsePages:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_rows = []
-        man_rows = []
-        for row in batch.to_pylist():
-            url = row["url"]
-            page_num = row["page_num"]
-            doc_id = f"{row['seed_id']}/{page_num}"
-            if row.get("error"):
+        # column-wise extraction: the headers map and any column the
+        # parser never touches stay in Arrow (never converted to Python)
+        urls = batch["url"].to_pylist()
+        seed_ids = batch["seed_id"].to_pylist()
+        page_nums = batch["page_num"].to_pylist()
+        errors_in = batch["error"].to_pylist() if "error" in batch.column_names else [""] * len(urls)
+        encodings = (
+            batch["encoding"].to_pylist() if "encoding" in batch.column_names else ["utf-8"] * len(urls)
+        )
+        bodies = batch["body"].to_pylist() if "body" in batch.column_names else [b""] * len(urls)
+
+        doc_rows: list[tuple] = []  # (doc_id, seed_id, page_num, url)
+        # spans as flat arrays + per-doc lengths → ListArray.from_arrays
+        span_kind: list[str] = []
+        span_text: list[str] = []
+        span_ref: list[str] = []
+        span_off: list[int] = []
+        span_lens: list[int] = []
+        man_rows: list[tuple] = []  # (doc_id, seed_id, page_num, url, ManifestRow)
+
+        for url, seed_id, page_num, err, enc, body in zip(
+            urls, seed_ids, page_nums, errors_in, encodings, bodies
+        ):
+            doc_id = f"{seed_id}/{page_num}"
+            if err:
                 if self.strict_errors:
                     # reference aborts the whole run on page errors (api.go:104-113)
-                    raise RuntimeError(f"page fetch failed: {url}: {row['error']}")
+                    raise RuntimeError(f"page fetch failed: {url}: {err}")
                 man_rows.append(
-                    (doc_id, row, ManifestRow("", status="error", error=row["error"]))
+                    (doc_id, seed_id, page_num, url, ManifestRow("", status="error", error=err))
                 )
                 continue
             if self.spec.crawler == "file":
-                doc_rows.append((doc_id, row, []))
+                doc_rows.append((doc_id, seed_id, page_num, url))
+                span_lens.append(0)
                 for m in file_crawler_manifest(url, page_num):
-                    man_rows.append((doc_id, row, m))
+                    man_rows.append((doc_id, seed_id, page_num, url, m))
                 continue
-            body = row["body"]
-            text = body.decode(row.get("encoding") or "utf-8", errors="replace")
+            text = body.decode(enc or "utf-8", errors="replace")
             root = parse_html(text)
             spans = extract_spans(url, root)
-            doc_rows.append((doc_id, row, spans))
+            doc_rows.append((doc_id, seed_id, page_num, url))
+            span_lens.append(len(spans))
+            for i, s in enumerate(spans):
+                span_kind.append(s.kind)
+                span_text.append(s.text)
+                span_ref.append(s.media_ref)
+                span_off.append(i)
             if self.discover_links:
                 for link in self._links(url, root):
                     man_rows.append(
-                        (doc_id, row, ManifestRow(link, status="", error="link"))
+                        (doc_id, seed_id, page_num, url, ManifestRow(link, status="", error="link"))
                     )
             if self.spec.crawler == "src":
                 manifest = src_crawler_manifest(url, page_num, root, self.spec)
@@ -360,62 +384,77 @@ class ParsePages:
             else:
                 manifest = []
             for m in manifest:
-                man_rows.append((doc_id, row, m))
+                man_rows.append((doc_id, seed_id, page_num, url, m))
 
         excluded = set(self.spec.exclude)
+        n_docs = len(doc_rows)
+        import numpy as np
+
+        offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        np.cumsum(span_lens, out=offsets[1:])
+        span_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(span_kind, pa.string()),
+                pa.array(span_text, pa.string()),
+                pa.array(span_ref, pa.string()),
+                pa.array(span_off, pa.int32()),
+            ],
+            fields=list(schemas.SPAN),
+        )
+        spans_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), span_struct)
         docs_tbl = pa.table(
             {
-                "record_kind": pa.array(["doc"] * len(doc_rows), pa.string()),
-                "doc_id": pa.array([d for d, _, _ in doc_rows], pa.string()),
-                "spans": pa.array(
-                    [[s.as_dict(i) for i, s in enumerate(spans)] for _, _, spans in doc_rows],
-                    pa.list_(schemas.SPAN),
-                ),
-                "seed_id": pa.array([r["seed_id"] for _, r, _ in doc_rows], pa.string()),
-                "page_num": pa.array([r["page_num"] for _, r, _ in doc_rows], pa.int64()),
-                "url": pa.array([r["url"] for _, r, _ in doc_rows], pa.string()),
-                "media_ref": pa.array([""] * len(doc_rows), pa.string()),
-                "out_dir": pa.array([""] * len(doc_rows), pa.string()),
-                "out_name": pa.array([""] * len(doc_rows), pa.string()),
-                "post_id": pa.array([""] * len(doc_rows), pa.string()),
-                "att_ordinal": pa.array([0] * len(doc_rows), pa.int32()),
-                "status": pa.array([""] * len(doc_rows), pa.string()),
-                "error": pa.array([""] * len(doc_rows), pa.string()),
-                "bytes": pa.array([0] * len(doc_rows), pa.int64()),
-                "header_filename": pa.array([""] * len(doc_rows), pa.string()),
+                "record_kind": pa.array(["doc"] * n_docs, pa.string()),
+                "doc_id": pa.array([d for d, _, _, _ in doc_rows], pa.string()),
+                "spans": spans_col,
+                "seed_id": pa.array([s for _, s, _, _ in doc_rows], pa.string()),
+                "page_num": pa.array([p for _, _, p, _ in doc_rows], pa.int64()),
+                "url": pa.array([u for _, _, _, u in doc_rows], pa.string()),
+                "media_ref": pa.array([""] * n_docs, pa.string()),
+                "out_dir": pa.array([""] * n_docs, pa.string()),
+                "out_name": pa.array([""] * n_docs, pa.string()),
+                "post_id": pa.array([""] * n_docs, pa.string()),
+                "att_ordinal": pa.array([0] * n_docs, pa.int32()),
+                "status": pa.array([""] * n_docs, pa.string()),
+                "error": pa.array([""] * n_docs, pa.string()),
+                "bytes": pa.array([0] * n_docs, pa.int64()),
+                "header_filename": pa.array([""] * n_docs, pa.string()),
             }
+        )
+        n_man = len(man_rows)
+        empty_spans = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n_man + 1, dtype=np.int32), pa.int32()),
+            span_struct.slice(0, 0),
         )
         man_tbl = pa.table(
             {
                 "record_kind": pa.array(
-                    ["link" if m.error == "link" else "manifest" for _, _, m in man_rows],
+                    ["link" if m.error == "link" else "manifest" for *_, m in man_rows],
                     pa.string(),
                 ),
-                "doc_id": pa.array([d for d, _, _ in man_rows], pa.string()),
-                "spans": pa.array([[] for _ in man_rows], pa.list_(schemas.SPAN)),
-                "seed_id": pa.array([r["seed_id"] for _, r, _ in man_rows], pa.string()),
-                "page_num": pa.array([r["page_num"] for _, r, _ in man_rows], pa.int64()),
-                "url": pa.array([r["url"] for _, r, _ in man_rows], pa.string()),
-                "media_ref": pa.array([m.media_ref for _, _, m in man_rows], pa.string()),
-                "out_dir": pa.array([m.out_dir for _, _, m in man_rows], pa.string()),
-                "out_name": pa.array([m.out_name for _, _, m in man_rows], pa.string()),
-                "post_id": pa.array([m.post_id for _, _, m in man_rows], pa.string()),
-                "att_ordinal": pa.array(
-                    [m.att_ordinal for _, _, m in man_rows], pa.int32()
-                ),
+                "doc_id": pa.array([d for d, *_ in man_rows], pa.string()),
+                "spans": empty_spans,
+                "seed_id": pa.array([s for _, s, *_ in man_rows], pa.string()),
+                "page_num": pa.array([p for _, _, p, _, _ in man_rows], pa.int64()),
+                "url": pa.array([u for _, _, _, u, _ in man_rows], pa.string()),
+                "media_ref": pa.array([m.media_ref for *_, m in man_rows], pa.string()),
+                "out_dir": pa.array([m.out_dir for *_, m in man_rows], pa.string()),
+                "out_name": pa.array([m.out_name for *_, m in man_rows], pa.string()),
+                "post_id": pa.array([m.post_id for *_, m in man_rows], pa.string()),
+                "att_ordinal": pa.array([m.att_ordinal for *_, m in man_rows], pa.int32()),
                 "status": pa.array(
                     [
                         "excluded" if m.media_ref in excluded and m.status == "pending" else m.status
-                        for _, _, m in man_rows
+                        for *_, m in man_rows
                     ],
                     pa.string(),
                 ),
                 "error": pa.array(
-                    ["" if m.error == "link" else m.error for _, _, m in man_rows],
+                    ["" if m.error == "link" else m.error for *_, m in man_rows],
                     pa.string(),
                 ),
-                "bytes": pa.array([0] * len(man_rows), pa.int64()),
-                "header_filename": pa.array([""] * len(man_rows), pa.string()),
+                "bytes": pa.array([0] * n_man, pa.int64()),
+                "header_filename": pa.array([""] * n_man, pa.string()),
             }
         )
         return pa.concat_tables([docs_tbl, man_tbl])
