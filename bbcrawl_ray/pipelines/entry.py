@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-import tempfile
+import tempfile  # noqa: F401 (kept for callers overriding the root)
 
 
 def flagship(sf_dir: str):
@@ -19,7 +19,9 @@ def flagship(sf_dir: str):
     from ..cli.partition import CrawlerSpec
     from .crawl import CrawlConfig, run_crawl
 
-    root = tempfile.mkdtemp(prefix="bbray_entry_")
+    # fixed path: repeat invocations reuse (and clear) one checkpoint
+    # root instead of littering /tmp
+    root = "/tmp/bbray_entry"
     cfg = CrawlConfig(
         crawler=CrawlerSpec(crawler="src", tags=["img", "audio", "video"]),
         seeds=[
