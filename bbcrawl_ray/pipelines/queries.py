@@ -357,6 +357,27 @@ def q_shipdate_range(sf_dir: str) -> Dataset:
     )
 
 
+def q_sample_orders(sf_dir: str) -> Dataset:
+    """Deterministic systematic sample: o_orderkey % 10 < 2."""
+    from ..stages.sampling import key_mod_sample
+
+    ds = R.read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return key_mod_sample(ds, "o_orderkey", 10, 2)
+
+
+def q_stratified_lineitem(sf_dir: str) -> Dataset:
+    """Stratified sample: 20 rows per l_returnflag stratum, chosen by
+    md5(orderkey-linenumber) — engine-independent, exactly reproducible
+    by the DuckDB oracle."""
+    from ..stages.sampling import stratified_sample
+
+    ds = R.read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_orderkey", "l_linenumber"]
+    )
+    out = stratified_sample(ds, "l_returnflag", ["l_orderkey", "l_linenumber"], 20)
+    return out.drop_columns(["sample_rank"])
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -381,6 +402,8 @@ QUERIES: dict[str, Callable[[str], Dataset]] = {
     "brand_price_stats": q_brand_price_stats,
     "urgent_or_big_orders": q_urgent_or_big_orders,
     "shipdate_range": q_shipdate_range,
+    "sample_orders": q_sample_orders,
+    "stratified_lineitem": q_stratified_lineitem,
 }
 
 
@@ -499,5 +522,19 @@ ORACLE_SQL: dict[str, str] = {
                MAX(l_shipdate) AS last_ship,
                COUNT(*) AS n_items
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "sample_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 10 < 2
+    """,
+    "stratified_lineitem": """
+        SELECT l_returnflag, l_orderkey, l_linenumber
+        FROM lineitem
+        QUALIFY row_number() OVER (
+            PARTITION BY l_returnflag
+            ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                         CAST(l_linenumber AS VARCHAR)),
+                     l_orderkey, l_linenumber
+        ) <= 20
     """,
 }

@@ -1,0 +1,157 @@
+"""Sampling + approximate-distinct operators (PAPERS.md: stratified
+random sampling over streaming data; mergeable sketches).
+
+- ``key_mod_sample``     — deterministic systematic sample (key % m < k);
+                           trivially reproducible in any engine.
+- ``stratified_sample``  — top-n per stratum ordered by md5(key): the
+                           hash is engine-independent (DuckDB md5 ==
+                           hashlib.md5), so the SQL oracle reproduces
+                           the EXACT sample. Pre-prune per batch (local
+                           top-n per stratum) before the grouped top-n,
+                           so the shuffle moves ≤ n × strata × blocks
+                           rows, never the table.
+- ``HllSketch`` / ``approx_distinct`` — classic HyperLogLog, one sketch
+  per batch emitted from ``map_batches``, merged in a tiny driver-side
+  reduce (sketches are mergeable by design — SURVEY.md §2.7
+  aggregation note).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+# ---------------------------------------------------------------------------
+# sampling
+
+
+def key_mod_sample(ds: Dataset, key: str, mod: int, keep: int) -> Dataset:
+    """Rows where key % mod < keep (deterministic systematic sample)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.less(
+            pc.subtract(t[key], pc.multiply(pc.divide(t[key], mod), mod)),
+            pa.scalar(keep),
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _md5_rank(keys: list[str]) -> list[str]:
+    return [hashlib.md5(k.encode()).hexdigest() for k in keys]
+
+
+def stratified_sample(
+    ds: Dataset, strata_col: str, key_cols: list[str], n_per_stratum: int
+) -> Dataset:
+    """n rows per stratum, chosen by smallest md5 of the joined key.
+
+    Deterministic and engine-independent (the DuckDB oracle is
+    ``QUALIFY row_number() OVER (PARTITION BY strata ORDER BY md5(key),
+    key) <= n``).
+    """
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        parts = [pc.cast(t[c], pa.string()) for c in key_cols]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, "-")
+        ranks = _md5_rank(joined.to_pylist())
+        t = t.append_column("sample_rank", pa.array(ranks, pa.string()))
+        # local prune: keep at most n per stratum per batch
+        df_idx = pc.sort_indices(
+            t, sort_keys=[(strata_col, "ascending"), ("sample_rank", "ascending")]
+        )
+        t = t.take(df_idx)
+        keep_mask = []
+        count: dict = {}
+        for s in t[strata_col].to_pylist():
+            c = count.get(s, 0)
+            keep_mask.append(c < n_per_stratum)
+            count[s] = c + 1
+        return t.filter(pa.array(keep_mask))
+
+    pruned = ds.map_batches(add_rank, batch_format="pyarrow")
+
+    def top_n(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["sample_rank"], kind="mergesort").head(n_per_stratum)
+
+    return pruned.groupby(strata_col).map_groups(top_n, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+
+
+class HllSketch:
+    """Classic HLL with 2^p registers; mergeable via element-wise max."""
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        h = np.asarray(h, dtype=np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | (np.uint64(1) << np.uint64(self.p - 1))
+        # rank = leading zeros of the remaining bits + 1 (vectorized via
+        # bit_length: 64 - floor(log2) when nonzero)
+        bl = np.zeros(len(rest), dtype=np.uint8)
+        nz = rest != 0
+        bl[nz] = (64 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)).astype(
+            np.uint8
+        )
+        np.maximum.at(self.registers, idx, bl)
+
+    def merge(self, other: "HllSketch") -> "HllSketch":
+        assert self.p == other.p
+        return HllSketch(self.p, np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        raw = alpha * m * m / inv.sum()
+        if raw <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                return m * np.log(m / zeros)
+        return raw
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, p: int, blob: bytes) -> "HllSketch":
+        return cls(p, np.frombuffer(blob, dtype=np.uint8).copy())
+
+
+def approx_distinct(ds: Dataset, col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col): one serialized sketch per batch
+    (map_batches), merged in a tiny driver reduce."""
+    from ..functions.urlfns import hash64_batch
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        sk = HllSketch(p)
+        vals = pc.cast(t[col], pa.string()).to_pylist()
+        if vals:
+            sk.add_hashes(hash64_batch(vals))
+        return pa.table({"sketch": pa.array([sk.to_bytes()], pa.large_binary())})
+
+    merged = HllSketch(p)
+    for b in ds.map_batches(sketch_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in b["sketch"].to_pylist():
+            merged = merged.merge(HllSketch.from_bytes(p, blob))
+    return merged.estimate()

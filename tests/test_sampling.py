@@ -1,0 +1,57 @@
+"""Sampling + HLL sketch operator tests."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def test_hll_accuracy_and_merge(ray_session):
+    from bbcrawl_ray.stages.sampling import HllSketch, approx_distinct
+
+    rng = np.random.default_rng(5)
+    n_distinct = 20_000
+    vals = rng.integers(0, n_distinct, size=60_000)  # heavy repeats
+    true_distinct = len(np.unique(vals))
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})).repartition(8)
+    est = approx_distinct(ds, "v", p=12)
+    assert abs(est - true_distinct) / true_distinct < 0.05
+
+    # mergeability: union estimate == sketch-of-union estimate
+    a, b = HllSketch(10), HllSketch(10)
+    u = HllSketch(10)
+    h1 = rng.integers(0, 2**63, size=5000, dtype=np.int64).astype(np.uint64)
+    h2 = rng.integers(0, 2**63, size=5000, dtype=np.int64).astype(np.uint64)
+    a.add_hashes(h1)
+    b.add_hashes(h2)
+    u.add_hashes(np.concatenate([h1, h2]))
+    assert a.merge(b).estimate() == u.estimate()
+
+
+def test_key_mod_sample(ray_session):
+    from bbcrawl_ray.stages.sampling import key_mod_sample
+
+    ds = rd.range(1000).map_batches(
+        lambda t: pa.table({"k": t["id"]}), batch_format="pyarrow"
+    )
+    out = key_mod_sample(ds, "k", 10, 3).to_pandas()
+    assert len(out) == 300
+    assert set(out["k"] % 10) == {0, 1, 2}
+
+
+def test_stratified_sample_deterministic(ray_session):
+    from bbcrawl_ray.stages.sampling import stratified_sample
+
+    tbl = pa.table(
+        {
+            "stratum": pa.array(["a"] * 50 + ["b"] * 5),
+            "k": pa.array(list(range(50)) + list(range(100, 105)), pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    out = stratified_sample(ds, "stratum", ["k"], 10).to_pandas()
+    assert len(out[out.stratum == "a"]) == 10
+    assert len(out[out.stratum == "b"]) == 5  # fewer rows than n → keep all
+    # deterministic across runs / partitionings
+    out2 = stratified_sample(rd.from_arrow(tbl), "stratum", ["k"], 10).to_pandas()
+    assert sorted(out[out.stratum == "a"]["k"]) == sorted(out2[out2.stratum == "a"]["k"])
