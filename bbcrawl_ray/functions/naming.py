@@ -104,18 +104,25 @@ def collision_name(name: str, src: str) -> str:
     return body
 
 
-def av_tag_names(srcs: list[str]) -> dict[str, str]:
+def av_tag_names(srcs: list[str]) -> tuple[dict[str, str], list[tuple[str, str]]]:
     """Per-tag src→filename map with dedup (avtag.go:14-37).
 
     Identical (src, name) re-offers are ignored; a filename collision
-    from a DIFFERENT src gets a deterministic collision name. Unlike the
-    reference's random map iteration, insertion order is preserved."""
+    from a DIFFERENT src gets a deterministic collision name. A src with
+    no derivable basename yields an ERROR entry and the remaining
+    sources still get names (the reference logs per-link and continues,
+    crawler_src.go:170-174). Unlike the reference's random map
+    iteration, insertion order is preserved."""
     out: dict[str, str] = {}
+    errors: list[tuple[str, str]] = []
     for src in srcs:
         path = urlsplit(src).path
         name = file_name_from_url(src)
         if not name:
-            raise NamingError(f'Could not derive a filename from input path "{path}"')
+            errors.append(
+                (src, f'Could not derive a filename from input path "{path}"')
+            )
+            continue
         for k, v in out.items():
             if v == name:
                 if k == src:
@@ -125,7 +132,7 @@ def av_tag_names(srcs: list[str]) -> dict[str, str]:
                 break
         if name is not None:
             out[src] = name
-    return out
+    return out, errors
 
 
 def header_filename(content_disposition_values: list[str]) -> str:

@@ -50,6 +50,9 @@ from .. import schemas
 FRONTIER_BUDGETED = schemas.FRONTIER.append(
     pa.field("selected", pa.bool_())
 ).append(pa.field("host_shard", pa.string()))
+# the frontier checkpoint is hive-partitioned on `selected`, so files in
+# the selected=true/false dirs carry every column EXCEPT selected
+FRONTIER_SHARD = schemas.FRONTIER.append(pa.field("host_shard", pa.string()))
 
 
 @dataclass
@@ -173,11 +176,16 @@ def _seed_frontier(cfg: CrawlConfig) -> Dataset:
 
 
 def _links_to_frontier(links: pa.Table, epoch: int, seed_hosts: set[str], same_host: bool) -> pa.Table:
-    """record_kind=link rows → FRONTIER rows at depth+1 for the next epoch."""
+    """record_kind=link rows → FRONTIER rows for the next epoch.
+
+    Discovered pages get a SYNTHETIC page_num derived from the canonical
+    URL hash — page_num keys doc_ids and output filenames, so every
+    discovered page must be distinct (two pages sharing page_num would
+    collide on doc_id and on "{page}-{fileid}" names). Depth = the epoch
+    that discovered the link (seeds are depth 0)."""
     urls = links["media_ref"].to_pylist()
     seed_ids = links["seed_id"].to_pylist()
     froms = links["url"].to_pylist()
-    depths = [0] * len(urls)
     keep = []
     for i, u in enumerate(urls):
         h = host_of(u)
@@ -189,16 +197,18 @@ def _links_to_frontier(links: pa.Table, epoch: int, seed_hosts: set[str], same_h
     froms = [froms[i] for i in keep]
     canon = [canonicalize_url(u) for u in urls]
     n = len(urls)
+    hashes = hash64_batch(canon) if n else []
+    page_nums = [int(h) % (2**31) + 2**31 for h in hashes]  # disjoint from seed pages
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "canon_url": pa.array(canon, pa.string()),
             "host": pa.array([host_of(u) for u in urls], pa.string()),
-            "page_num": pa.array([0] * n, pa.int64()),
-            "priority": pa.array([-(10**6)] * n, pa.int64()),
-            "depth": pa.array([1] * n, pa.int32()),
+            "page_num": pa.array(page_nums, pa.int64()),
+            "priority": pa.array([-(10**6) - p for p in page_nums], pa.int64()),
+            "depth": pa.array([epoch] * n, pa.int32()),
             "seed_id": pa.array(seed_ids, pa.string()),
-            "url_hash": pa.array(hash64_batch(canon) if n else [], pa.uint64()),
+            "url_hash": pa.array(hashes, pa.uint64()),
             "discovered_from": pa.array(froms, pa.string()),
             "epoch": pa.array([epoch] * n, pa.int32()),
         },
@@ -224,19 +234,18 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                 if not ckpt.is_complete(e):
                     continue
                 fetched = read_parquet_dirs(
-                    [ckpt.path(e, "frontier")], FRONTIER_BUDGETED
-                ).select_columns(["canon_url", "url_hash", "selected"])
+                    [ckpt.path(e, "frontier") + "/selected=true"], FRONTIER_SHARD
+                ).select_columns(["canon_url", "url_hash"])
                 for b in fetched.iter_batches(batch_format="pyarrow"):
-                    b = b.filter(b["selected"])
                     seen.check_and_add_batch(
                         b["url_hash"].to_numpy(zero_copy_only=False),
                         b["canon_url"].to_pylist(),
                     )
             start_epoch = latest + 1
             deferred = read_parquet_dirs(
-                [ckpt.path(latest, "frontier")], FRONTIER_BUDGETED
-            ).filter(expr="selected == False")
-            frontier = deferred.drop_columns(["selected", "host_shard"])
+                [ckpt.path(latest, "frontier") + "/selected=false"], FRONTIER_SHARD
+            )
+            frontier = deferred.drop_columns(["host_shard"])
     if frontier is None:
         if not resume:
             ckpt.clear()
@@ -252,17 +261,19 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         t0 = time.perf_counter()
         # -- budget + skew split (the one host-keyed shuffle), checkpointed
         budgeted = budget_frontier(frontier, cfg.per_host_budget, cfg.skew_split_threshold)
-        frontier_dir = ckpt.write_part(epoch, "frontier", budgeted)
+        # hive-partitioned on `selected`: downstream reads are directory-
+        # pruned and selected/deferred counts come from parquet footers
+        frontier_dir = ckpt.write_part(
+            epoch, "frontier", budgeted, partition_cols=["selected"]
+        )
 
         # -- fetch + parse (selected rows only, streamed once to parquet).
         # Repartition first: the frontier parquet may be a handful of
         # files, and read parallelism = file count without it.
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        selected = (
-            read_parquet_dirs([frontier_dir], FRONTIER_BUDGETED)
-            .filter(expr="selected == True")
-            .repartition(max(8, ncpu * 4))
-        )
+        selected = read_parquet_dirs(
+            [f"{frontier_dir}/selected=true"], FRONTIER_SHARD
+        ).repartition(max(8, ncpu * 4))
         new_rows = selected.map_batches(SeenFilter(seen), batch_format="pyarrow")
         stateful_fetch = (
             cfg.min_host_delay_s > 0
@@ -356,10 +367,10 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         epochs_run += 1
 
         # -- next epoch frontier: deferred ∪ discovered
-        deferred = read_parquet_dirs([frontier_dir], FRONTIER_BUDGETED).filter(
-            expr="selected == False"
+        deferred = read_parquet_dirs(
+            [f"{frontier_dir}/selected=false"], FRONTIER_SHARD
         )
-        next_parts = [deferred.drop_columns(["selected", "host_shard"])]
+        next_parts = [deferred.drop_columns(["host_shard"])]
         if cfg.follow_links:
             links = read_parquet_dirs(
                 [f"{parsed_dir}/record_kind=link"], schemas.PARSED
@@ -373,7 +384,13 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         frontier = next_parts[0]
         for p in next_parts[1:]:
             frontier = frontier.union(p)
-        if epoch + 1 < start_epoch + cfg.max_epochs and frontier.count() == 0:
+        # emptiness from parquet FOOTERS — zero extra pipeline execution;
+        # the lazy `frontier` above is only consumed if we loop again
+        deferred_count = parquet_row_count(f"{frontier_dir}/selected=false")
+        links_count = (
+            parquet_row_count(f"{parsed_dir}/record_kind=link") if cfg.follow_links else 0
+        )
+        if epoch + 1 < start_epoch + cfg.max_epochs and deferred_count + links_count == 0:
             break
 
     documents = read_parquet_dirs(

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-import tempfile  # noqa: F401 (kept for callers overriding the root)
+import tempfile
 
 
 def flagship(sf_dir: str):
@@ -19,9 +19,10 @@ def flagship(sf_dir: str):
     from ..cli.partition import CrawlerSpec
     from .crawl import CrawlConfig, run_crawl
 
-    # fixed path: repeat invocations reuse (and clear) one checkpoint
-    # root instead of littering /tmp
-    root = "/tmp/bbray_entry"
+    # per-invocation root: a fixed path would let a second flagship()
+    # call clear checkpoints a previously returned LAZY Dataset still
+    # references (Datasets read their parquet at consumption time)
+    root = tempfile.mkdtemp(prefix="bbray_entry_")
     cfg = CrawlConfig(
         crawler=CrawlerSpec(crawler="src", tags=["img", "audio", "video"]),
         seeds=[

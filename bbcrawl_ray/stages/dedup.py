@@ -72,7 +72,12 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     a = np.frombuffer(t, dtype=np.uint8)
     kk = min(k, len(a))
     win = np.lib.stride_tricks.sliding_window_view(a, kk)
-    pows = np.cumprod(np.full(kk, _SHINGLE_BASE, dtype=np.uint64)) // _SHINGLE_BASE
+    # powers of the base mod 2^64: [1, B, B², ...] — uint64 array
+    # multiplication wraps correctly (NOT cumprod-then-divide, which
+    # destroys the high bits)
+    pows = np.ones(kk, dtype=np.uint64)
+    if kk > 1:
+        pows[1:] = np.cumprod(np.full(kk - 1, _SHINGLE_BASE, dtype=np.uint64))
     h = (win.astype(np.uint64) * pows[None, :]).sum(axis=1, dtype=np.uint64)
     return np.unique(h)
 

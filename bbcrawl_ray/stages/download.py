@@ -23,25 +23,26 @@ Parity semantics:
 
 from __future__ import annotations
 
+import glob
 import os
 
 import pyarrow as pa
 
 from ..functions import naming
-from ..sources.corpus import make_transport
-from .fetch import FetchConfig
+from ..functions.urlfns import host_of
+from .fetch import FetchConfig, Fetcher
 
 
 class Downloader:
-    """Actor-pool callable: MEDIA_MANIFEST batch → same schema, resolved."""
+    """Actor-pool callable: MEDIA_MANIFEST batch → same schema, resolved.
+
+    Downloads go through the same Fetcher as pages (reference parity:
+    Download.Client IS the crawler's http.Client, crawlers.go:88-124) —
+    cookies, redirect policy, per-host politeness, and robots all apply
+    to media fetches too."""
 
     def __init__(self, fetch_cfg: FetchConfig, output_root: str, allow_override: bool = False):
-        pages = None
-        if fetch_cfg.pages_ref is not None:
-            import ray
-
-            pages = ray.get(fetch_cfg.pages_ref)
-        self.transport = make_transport(fetch_cfg.transport, fetch_cfg.corpus, pages)
+        self.fetcher = Fetcher(fetch_cfg)
         self.output_root = output_root
         self.allow_override = allow_override
         os.makedirs(output_root, exist_ok=True)
@@ -62,19 +63,33 @@ class Downloader:
             if from_header:
                 # deterministic temp name (reference: "{id}.download")
                 name = naming.auto_name(f"{row['post_id']}-{row['att_ordinal']}")
+                # resume idempotence: a previous run may have completed the
+                # download AND the rename — any existing final name with
+                # this row's "{postid}-{attid}-" prefix means done
+                d = os.path.join(self.output_root, row["out_dir"]) if row["out_dir"] else self.output_root
+                done = glob.glob(
+                    os.path.join(glob.escape(d), f"{row['post_id']}-{row['att_ordinal']}-*")
+                )
+                if done and not self.allow_override:
+                    row["status"] = "skipped_exists"
+                    row["out_name"] = os.path.basename(done[0])
+                    row["error"] = f"file already exists: {done[0]}"
+                    continue
             target = self._target(row["out_dir"], name)
             if os.path.exists(target) and not self.allow_override:
                 row["status"] = "skipped_exists"
                 row["out_name"] = name
                 row["error"] = f"file already exists: {target}"
                 continue
-            try:
-                resp = self.transport.get(url)
-            except Exception as e:
+            resp, _chain, err = self.fetcher.fetch_one(url, host_of(url))
+            if err:
                 row["status"] = "error"
-                row["error"] = f"fetch failed: {e}"
+                row["error"] = err
                 continue
             if resp.status != 200:
+                # deliberate divergence: the reference writes ANY response
+                # body to disk (downloader.go:277-317), error pages included;
+                # the engine records an error row instead
                 row["status"] = "error"
                 row["error"] = f"HTTP status {resp.status}"
                 continue

@@ -140,22 +140,27 @@ class Fetcher:
 
     # -- one URL ----------------------------------------------------------
     def fetch_one(self, url: str, host: str) -> tuple[Response, list[str], str]:
-        """Returns (response, redirect_chain, error)."""
+        """Returns (response, redirect_chain, error).
+
+        Cookies, the politeness clock, and robots are all keyed by the
+        CURRENT hop's host — a redirect to another host must not leak
+        the first host's cookies or charge its rate budget."""
         from urllib.parse import urlsplit
 
-        s = urlsplit(url)
-        if not self._robots_allowed(host, s.scheme or "http", s.path or "/"):
-            return Response(), [], "blocked by robots.txt"
-        req_headers = {}
-        jar = self.cookie_jar.get(host)
-        if jar:
-            # jar seeded once from broadcast config (reference parity:
-            # cookies load on first use, crawlers.go:96-111)
-            req_headers["Cookie"] = "; ".join(f"{k}={v}" for k, v in jar.items())
         chain: list[str] = []
         current = url
         for _hop in range(MAX_REDIRECTS + 2):
-            self._wait_turn(host)
+            s = urlsplit(current)
+            cur_host = (s.hostname or host).lower()
+            if not self._robots_allowed(cur_host, s.scheme or "http", s.path or "/"):
+                return Response(), chain, "blocked by robots.txt"
+            req_headers = {}
+            jar = self.cookie_jar.get(cur_host)
+            if jar:
+                # jar seeded once from broadcast config (reference parity:
+                # cookies load on first use, crawlers.go:96-111)
+                req_headers["Cookie"] = "; ".join(f"{k}={v}" for k, v in jar.items())
+            self._wait_turn(cur_host)
             self._debug_dump("Request Header", req_headers)
             try:
                 resp = self.transport.get(current, headers=req_headers or None)
@@ -188,11 +193,11 @@ class Fetcher:
             resp, chain, err = self.fetch_one(url, host)
             ctype_full = resp.content_type()
             ctype, enc = parse_content_type(ctype_full)
-            if not err and resp.status == 200 and not ctype_full:
-                # BodyUTF8 parity: encoding.go:10-16
+            if not err and not ctype_full:
+                # BodyUTF8 parity (encoding.go:10-16): missing Content-Type
+                # is the error; non-2xx BODIES are parsed like any other —
+                # Go's client.Do does not error on 404 (api.go:101-114)
                 err = "No Content-Type found in HTTP response"
-            if not err and resp.status >= 400:
-                err = f"HTTP status {resp.status}"
             statuses.append(resp.status)
             ctypes.append(ctype)
             bodies.append(resp.body if not err else b"")

@@ -164,11 +164,9 @@ def src_crawler_manifest(
             else:
                 subdir = f"{page_num}-{fileid}"
                 fileid += 1  # dir consumes the fileid — crawler_src.go:166-168
-                try:
-                    names = naming.av_tag_names(downloads)
-                except naming.NamingError as e:
-                    rows.append(ManifestRow(downloads[0], status="error", error=str(e)))
-                    continue
+                names, name_errors = naming.av_tag_names(downloads)
+                for bad_src, msg in name_errors:
+                    rows.append(ManifestRow(bad_src, status="error", error=msg))
                 for link, name in names.items():
                     ref, err = resolve(link)
                     rows.append(

@@ -55,7 +55,11 @@ class _BloomSeen:
         self.count = 0
 
     def check_and_add(self, keys) -> np.ndarray:
-        h = np.asarray(keys, dtype=np.uint64)
+        # dedupe within the batch FIRST: membership is tested before bits
+        # are set, so a key appearing twice in one batch must only report
+        # its first occurrence as new
+        h_all = np.asarray(keys, dtype=np.uint64)
+        h, first_idx, inverse = np.unique(h_all, return_index=True, return_inverse=True)
         h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
         h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
         present = np.ones(len(h), dtype=bool)
@@ -66,11 +70,14 @@ class _BloomSeen:
             byte = self.bits[(idx >> np.uint64(3)).astype(np.int64)]
             bit = (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1
             present &= bit.astype(bool)
-        is_new = ~present
+        unique_new = ~present
         for idx in idxs:
             tgt = (idx >> np.uint64(3)).astype(np.int64)
             np.bitwise_or.at(self.bits, tgt, (1 << (idx & np.uint64(7))).astype(np.uint8))
-        self.count += int(is_new.sum())
+        self.count += int(unique_new.sum())
+        # expand back: new only at the FIRST occurrence of each unique key
+        is_new = np.zeros(len(h_all), dtype=bool)
+        is_new[first_idx] = unique_new
         return is_new
 
     def __len__(self):

@@ -146,8 +146,12 @@ def test_unique_name_quirks():
 
 
 def test_av_tag_dedup_identical_reoffer():
-    names = naming.av_tag_names(["http://h/a/x.mp4", "http://h/a/x.mp4"])
-    assert names == {"http://h/a/x.mp4": "x.mp4"}
+    names, errors = naming.av_tag_names(["http://h/a/x.mp4", "http://h/a/x.mp4"])
+    assert names == {"http://h/a/x.mp4": "x.mp4"} and errors == []
+    # one bad src must not abort the tag (crawler_src.go:170-174 parity)
+    names2, errors2 = naming.av_tag_names(["http://h/a/", "http://h/a/y.mp4"])
+    assert names2 == {"http://h/a/y.mp4": "y.mp4"}
+    assert len(errors2) == 1 and errors2[0][0] == "http://h/a/"
 
 
 def test_header_filename():

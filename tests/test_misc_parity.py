@@ -83,15 +83,32 @@ def test_exclude_list_marks_rows(ray_session, tmp_root):
 
 
 def test_strict_errors_aborts(ray_session, tmp_root):
-    """Reference parity: a page fetch error aborts the run (api.go:104-113)."""
-    pages = {
-        "http://m.example/t": Response(500, {"Content-Type": ["text/html"]}, b"")
-    }
-    with pytest.raises(Exception, match="page fetch failed|RayTaskError"):
+    """Reference parity: a page FETCH error aborts the run (api.go:104-113).
+    Note: a non-2xx response with a Content-Type is NOT a fetch error —
+    Go's client.Do succeeds on 404/500 and the body is parsed; the
+    BodyUTF8 missing-Content-Type error is what kills the reference."""
+    pages = {"http://m.example/t": Response(200, {}, b"<html></html>")}
+    with pytest.raises(Exception, match="page fetch failed|No Content-Type|RayTaskError"):
         res = _one_page_crawl(
             tmp_root, pages, CrawlerSpec(crawler="src", tags=["img"]), strict_errors=True
         )
         res.documents.to_pandas()
+
+
+def test_non_2xx_body_is_parsed(ray_session, tmp_root):
+    """A 404 WITH Content-Type parses like any page (Go client.Do parity)."""
+    pages = {
+        "http://m.example/t": Response(
+            404,
+            {"Content-Type": ["text/html; charset=utf-8"]},
+            b'<html><body>gone <img src="/x/a.jpg"></body></html>',
+        )
+    }
+    res = _one_page_crawl(tmp_root, pages, CrawlerSpec(crawler="src", tags=["img"]))
+    docs = res.documents.to_pandas()
+    assert len(docs) == 1
+    kinds = [s["kind"] for s in docs.iloc[0]["spans"]]
+    assert "img" in kinds
 
 
 def test_debug_header_dumps(ray_session, tmp_root):
