@@ -273,7 +273,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         selected = read_parquet_dirs(
             [f"{frontier_dir}/selected=true"], FRONTIER_SHARD
-        ).repartition(max(8, ncpu * 4))
+        ).repartition(max(8, ncpu * 8))
         new_rows = selected.map_batches(SeenFilter(seen), batch_format="pyarrow")
         stateful_fetch = (
             cfg.min_host_delay_s > 0
