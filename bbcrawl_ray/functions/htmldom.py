@@ -64,12 +64,92 @@ class _DomBuilder(HTMLParser):
             self.stack[-1].children.append(Node(None, text=data))
 
 
-def parse_html(text: str) -> Node:
-    """Parse HTML into a DOM tree rooted at a synthetic ``#document`` node."""
+def parse_html_stdlib(text: str) -> Node:
+    """Parse HTML via stdlib ``html.parser`` (reference implementation)."""
     b = _DomBuilder()
     b.feed(text)
     b.close()
     return b.root
+
+
+# Fast path: a regex tokenizer building the SAME tree with the same
+# stack rules as _DomBuilder — html.parser spends ~60% of the parse
+# stage's time in its per-character state machine. Differential-tested
+# against parse_html_stdlib over the synthetic corpus and the golden
+# fixtures (tests/test_fast_parser.py); falls back automatically for
+# inputs with constructs the tokenizer does not model.
+_TAG_RE = re.compile(
+    r"<(?:"
+    r"(?P<close>/\s*(?P<ctag>[a-zA-Z][a-zA-Z0-9-]*)\s*)"
+    r"|(?P<comment>!--.*?--)"
+    r"|(?P<decl>![^>]*)"
+    r"|(?P<pi>\?[^>]*)"
+    r"|(?P<tag>[a-zA-Z][a-zA-Z0-9-]*)(?P<attrs>(?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(?P<selfclose>/?)"
+    r")>",
+    re.S,
+)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]*)))?"
+)
+_NEEDS_FALLBACK = re.compile(r"<(script|style)\b", re.I)  # html.parser CDATA_CONTENT_ELEMENTS
+
+
+def parse_html_fast(text: str) -> Node:
+    """Regex-tokenizer DOM build (same tree semantics as the stdlib path).
+
+    CDATA-mode elements (script/style — html.parser's
+    CDATA_CONTENT_ELEMENTS) change tokenizer
+    state in real HTML — inputs containing them fall back to stdlib.
+    """
+    if _NEEDS_FALLBACK.search(text):
+        return parse_html_stdlib(text)
+    root = Node("#document")
+    stack = [root]
+    pos = 0
+    for m in _TAG_RE.finditer(text):
+        if m.start() > pos:
+            data = text[pos : m.start()]
+            if "<" in data:
+                # stray '<' in text: html.parser's recovery tokenization
+                # differs — defer to it rather than approximate
+                return parse_html_stdlib(text)
+            if data:
+                stack[-1].children.append(Node(None, text=unescape(data)))
+        pos = m.end()
+        if m.group("comment") or m.group("decl") or m.group("pi"):
+            continue
+        if m.group("close"):
+            tag = m.group("ctag").lower()
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            continue
+        tag = m.group("tag").lower()
+        raw_attrs = m.group("attrs") or ""
+        attrs = []
+        for am in _ATTR_RE.finditer(raw_attrs):
+            k, v1, v2, v3 = am.group(1), am.group(2), am.group(3), am.group(4)
+            val = v1 if v1 is not None else v2 if v2 is not None else v3
+            # bare attribute (no '=') → "" like html.parser's None→"" mapping
+            attrs.append((k.lower(), unescape(val) if val else ""))
+        node = Node(tag, attrs)
+        stack[-1].children.append(node)
+        if tag not in VOID_ELEMENTS and not m.group("selfclose"):
+            stack.append(node)
+    if pos < len(text):
+        tail = text[pos:]
+        if "<" in tail:
+            return parse_html_stdlib(text)
+        if tail:
+            stack[-1].children.append(Node(None, text=unescape(tail)))
+    return root
+
+
+def parse_html(text: str) -> Node:
+    """Parse HTML into a DOM tree rooted at a synthetic ``#document`` node."""
+    return parse_html_fast(text)
 
 
 def walk(node: Node) -> Iterator[Node]:
