@@ -275,14 +275,36 @@ def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
 def minhash_dedup(
     ds: Dataset, id_col="doc_id", text_col="text", k=5, threshold=0.8
 ) -> pd.DataFrame:
-    """Full near-dup pipeline → (doc_id, cluster_id) for clustered docs."""
-    import ray
+    """Full near-dup pipeline → (doc_id, cluster_id) for clustered docs.
 
-    texts = {}
-    for b in ds.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"):
+    Scale posture: only CANDIDATE docs' texts are broadcast to the
+    verify stage — LSH prunes the corpus to the (tiny) candidate set
+    first, then a broadcast semi-join pulls just those texts. The full
+    corpus text never leaves its blocks and never lands on the driver.
+    """
+    import ray
+    import pyarrow.compute as _pc
+
+    cands = minhash_candidates(ds, id_col=id_col, text_col=text_col, k=k).materialize()
+    cand_ids: set = set()
+    for b in cands.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(b["left_id"].to_pylist())
+        cand_ids.update(b["right_id"].to_pylist())
+    if not cand_ids:
+        return pd.DataFrame({"doc_id": [], "cluster_id": []})
+    id_set_ref = ray.put(pa.array(sorted(cand_ids)))
+
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        return t.filter(_pc.is_in(t[id_col], value_set=ray.get(id_set_ref)))
+
+    texts: dict = {}
+    for b in (
+        ds.select_columns([id_col, text_col])
+        .map_batches(keep_candidates, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
         texts.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
     texts_ref = ray.put(texts)
-    cands = minhash_candidates(ds, id_col=id_col, text_col=text_col, k=k)
     verified = cands.map_batches(
         JaccardVerify,
         fn_constructor_args=(texts_ref, k, threshold),
