@@ -128,6 +128,10 @@ def parse_html_fast(text: str) -> Node:
             continue
         tag = m.group("tag").lower()
         raw_attrs = m.group("attrs") or ""
+        if "<" in raw_attrs:
+            # a '<' inside a (quoted) attr section: html.parser's
+            # tokenizer re-splits on '<' — defer to it
+            return parse_html_stdlib(text)
         attrs = []
         for am in _ATTR_RE.finditer(raw_attrs):
             k, v1, v2, v3 = am.group(1), am.group(2), am.group(3), am.group(4)
