@@ -80,18 +80,23 @@ def parse_html_stdlib(text: str) -> Node:
 # inputs with constructs the tokenizer does not model.
 _TAG_RE = re.compile(
     r"<(?:"
-    r"(?P<close>/\s*(?P<ctag>[a-zA-Z][a-zA-Z0-9-]*)\s*)"
-    r"|(?P<comment>!--.*?--)"
+    r"(?P<close>/\s*(?P<ctag>[a-zA-Z][^\s>/]*)\s*)"
+    r"|(?P<comment>!--.*?--\s*)"  # html.parser accepts '--  >' comment ends
     r"|(?P<decl>![^>]*)"
     r"|(?P<pi>\?[^>]*)"
-    r"|(?P<tag>[a-zA-Z][a-zA-Z0-9-]*)(?P<attrs>(?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(?P<selfclose>/?)"
+    r"|(?P<tag>[a-zA-Z][^\s/>]*)(?P<attrs>(?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(?P<selfclose>/?)"
     r")>",
     re.S,
 )
+# attr names per html.parser's tolerant rules: any run without
+# whitespace/quote/'>'/'/'/'=' (so 'o:p', '1', 'data-x.y' all work)
 _ATTR_RE = re.compile(
-    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"([^\s\"'>/][^\s\"'>/=]*)"  # first char may be '=' (stdlib-tolerant)
     r"(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]*)))?"
 )
+# stdlib folds a trailing '/' into an in-progress UNQUOTED value
+# ('<img src=a.jpg/>' → value "a.jpg/", NOT self-closing)
+_TRAILING_UNQUOTED = re.compile(r"[^\s\"'>/=][^\s\"'>/=]*=[^\s\"']*$")
 _NEEDS_FALLBACK = re.compile(r"<(script|style)\b", re.I)  # html.parser CDATA_CONTENT_ELEMENTS
 
 
@@ -117,8 +122,17 @@ def parse_html_fast(text: str) -> Node:
             if data:
                 stack[-1].children.append(Node(None, text=unescape(data)))
         pos = m.end()
-        if m.group("comment") or m.group("decl") or m.group("pi"):
+        if m.group("comment") or m.group("pi"):
             continue
+        decl = m.group("decl")
+        if decl:
+            body = decl[1:]  # after '!'
+            if body.startswith("--") or body.startswith("["):
+                # malformed comment ('--!>'-style ends) or marked section
+                # (<![CDATA[..]]> scans past '>') — stdlib tokenizes these
+                # differently; defer to it
+                return parse_html_stdlib(text)
+            continue  # DOCTYPE and friends are dropped, like the stdlib path
         if m.group("close"):
             tag = m.group("ctag").lower()
             for i in range(len(stack) - 1, 0, -1):
@@ -132,6 +146,11 @@ def parse_html_fast(text: str) -> Node:
             # a '<' inside a (quoted) attr section: html.parser's
             # tokenizer re-splits on '<' — defer to it
             return parse_html_stdlib(text)
+        selfclose = m.group("selfclose")
+        if selfclose and _TRAILING_UNQUOTED.search(raw_attrs):
+            # '<img src=a.jpg/>': the '/' belongs to the unquoted value
+            raw_attrs += "/"
+            selfclose = ""
         attrs = []
         for am in _ATTR_RE.finditer(raw_attrs):
             k, v1, v2, v3 = am.group(1), am.group(2), am.group(3), am.group(4)
@@ -140,7 +159,7 @@ def parse_html_fast(text: str) -> Node:
             attrs.append((k.lower(), unescape(val) if val else ""))
         node = Node(tag, attrs)
         stack[-1].children.append(node)
-        if tag not in VOID_ELEMENTS and not m.group("selfclose"):
+        if tag not in VOID_ELEMENTS and not selfclose:
             stack.append(node)
     if pos < len(text):
         tail = text[pos:]

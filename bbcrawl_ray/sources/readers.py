@@ -11,14 +11,18 @@ from __future__ import annotations
 import ray.data as rd
 from ray.data import Dataset
 
+import pyarrow as _pa
+
+# (default value, explicit Arrow type — an untyped pa.array on an EMPTY
+# batch would be null-typed and break cross-block schema unification)
 _DEFAULTS = {
-    "name": "page",
-    "cut_index": 0,
-    "cut_len": 0,
-    "step": 1,
-    "digits": 0,
-    "adjust": 0,
-    "startpage": "",
+    "name": ("page", _pa.string()),
+    "cut_index": (0, _pa.int64()),
+    "cut_len": (0, _pa.int64()),
+    "step": (1, _pa.int64()),
+    "digits": (0, _pa.int64()),
+    "adjust": (0, _pa.int64()),
+    "startpage": ("", _pa.string()),
 }
 
 REQUIRED = ("seed_id", "pager", "blueprint_url", "start", "end")
@@ -31,11 +35,9 @@ def _fill_defaults(ds: Dataset) -> Dataset:
         for col in REQUIRED:
             if col not in t.column_names:
                 raise ValueError(f"seed table missing required column {col!r}")
-        for col, default in _DEFAULTS.items():
+        for col, (default, typ) in _DEFAULTS.items():
             if col not in t.column_names:
-                t = t.append_column(
-                    col, pa.array([default] * t.num_rows)
-                )
+                t = t.append_column(col, pa.array([default] * t.num_rows, type=typ))
         return t
 
     return ds.map_batches(fn, batch_format="pyarrow")

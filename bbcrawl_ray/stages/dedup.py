@@ -283,7 +283,6 @@ def minhash_dedup(
     corpus text never leaves its blocks and never lands on the driver.
     """
     import ray
-    import pyarrow.compute as _pc
 
     cands = minhash_candidates(ds, id_col=id_col, text_col=text_col, k=k).materialize()
     cand_ids: set = set()
@@ -295,7 +294,7 @@ def minhash_dedup(
     id_set_ref = ray.put(pa.array(sorted(cand_ids)))
 
     def keep_candidates(t: pa.Table) -> pa.Table:
-        return t.filter(_pc.is_in(t[id_col], value_set=ray.get(id_set_ref)))
+        return t.filter(pc.is_in(t[id_col], value_set=ray.get(id_set_ref)))
 
     texts: dict = {}
     for b in (

@@ -177,22 +177,26 @@ def scaling() -> None:
         pairs.append(
             {
                 "pages_per_s": [tp_lo, tp_hi],
+                "frontier_urls_per_s": [
+                    r_lo["crawl"]["frontier_urls_per_s"],
+                    r_hi["crawl"]["frontier_urls_per_s"],
+                ],
                 "wall_s": [r_lo["crawl"]["wall_s"], r_hi["crawl"]["wall_s"]],
                 "efficiency": round((tp_hi / tp_lo) / (hi / lo), 3),
             }
         )
-    effs = sorted(p["efficiency"] for p in pairs)
-    median = effs[len(effs) // 2]
-    best_pair = max(pairs, key=lambda p: p["pages_per_s"][1])
+    # report the MEDIAN pair's numbers so throughput and efficiency in the
+    # output are from the same measurement
+    median_pair = sorted(pairs, key=lambda p: p["efficiency"])[len(pairs) // 2]
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
                 "cpus": [lo, hi],
-                "pages_per_s": best_pair["pages_per_s"],
-                "frontier_urls_per_s": best_pair["pages_per_s"],
-                "wall_s": best_pair["wall_s"],
-                "scaling_efficiency": median,
+                "pages_per_s": median_pair["pages_per_s"],
+                "frontier_urls_per_s": median_pair["frontier_urls_per_s"],
+                "wall_s": median_pair["wall_s"],
+                "scaling_efficiency": median_pair["efficiency"],
                 "pairs": pairs,
             }
         )

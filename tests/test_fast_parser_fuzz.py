@@ -34,6 +34,16 @@ fragments = st.lists(
                 ">",
                 '"',
                 "<script>var x=1;</script>",
+                "<img src=a.jpg/>",
+                "<div id=x/>",
+                "<!-- a > b --  >",
+                "<!-- bad --!>",
+                "<![CDATA[ <x> ]]>",
+                "<!DOCTYPE html>",
+                "<o:p/>",
+                "<a 1=2>",
+                "<div =x/>",
+                "<a href=/f.zip/>",
             ]
         ),
     ),
