@@ -357,6 +357,78 @@ def q_shipdate_range(sf_dir: str) -> Dataset:
     )
 
 
+def q_order_lineitem_join(sf_dir: str) -> Dataset:
+    """Both-sides-large hash join (lineitem ⋈ orders on orderkey, both
+    shuffled on the key) + grouped aggregate by order priority."""
+    li = R.read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "price_cents": R.cents(t["l_extendedprice"])}
+        )
+
+    orders = R.read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = R.hash_join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    return R.partial_group_aggregate(
+        joined,
+        ["o_orderpriority"],
+        sums={"revenue_cents": "price_cents"},
+        count_as="item_count",
+    )
+
+
+def q_top_orders_per_segment(sf_dir: str) -> Dataset:
+    """Grouped top-k: 3 priciest orders per market segment (ties broken
+    by orderkey) — broadcast-join the segment in, per-group head."""
+    cust = R.read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    orders = R.read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = R.broadcast_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(3)[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+    return joined.groupby("c_mktsegment").map_groups(top3, batch_format="pandas")
+
+
+def q_events_sliding_2h(sf_dir: str) -> Dataset:
+    """Sliding window (2h wide, 1h hop): each event lands in two windows —
+    per-batch window-assignment expansion, then grouped counts."""
+    ds = R.read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        prev = pc.subtract(hour, pa.scalar(3_600_000_000, pa.duration("us")))
+        cents = R.cents(t["value"])
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays(
+                    [t["event_type"].combine_chunks(), t["event_type"].combine_chunks()]
+                ),
+                "window_start": pa.concat_arrays(
+                    [prev.combine_chunks(), hour.combine_chunks()]
+                ),
+                "value_cents": pa.concat_arrays([cents] * 2)
+                if isinstance(cents, pa.Array)
+                else pa.concat_arrays([cents.combine_chunks()] * 2),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return R.partial_group_aggregate(
+        assigned,
+        ["event_type", "window_start"],
+        sums={"value_cents_sum": "value_cents"},
+        count_as="event_count",
+    )
+
+
 def q_sample_orders(sf_dir: str) -> Dataset:
     """Deterministic systematic sample: o_orderkey % 10 < 2."""
     from ..stages.sampling import key_mod_sample
@@ -404,6 +476,9 @@ QUERIES: dict[str, Callable[[str], Dataset]] = {
     "shipdate_range": q_shipdate_range,
     "sample_orders": q_sample_orders,
     "stratified_lineitem": q_stratified_lineitem,
+    "order_lineitem_join": q_order_lineitem_join,
+    "top_orders_per_segment": q_top_orders_per_segment,
+    "events_sliding_2h": q_events_sliding_2h,
 }
 
 
@@ -536,5 +611,36 @@ ORACLE_SQL: dict[str, str] = {
                          CAST(l_linenumber AS VARCHAR)),
                      l_orderkey, l_linenumber
         ) <= 20
+    """,
+    "order_lineitem_join": """
+        SELECT o_orderpriority,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+               COUNT(*) AS item_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "top_orders_per_segment": """
+        SELECT c_mktsegment, o_orderkey, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        QUALIFY row_number() OVER (
+            PARTITION BY c_mktsegment
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+        ) <= 3
+    """,
+    "events_sliding_2h": """
+        WITH assigned AS (
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+            UNION ALL
+            SELECT event_type,
+                   date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_type, window_start,
+               SUM(cents) AS value_cents_sum,
+               COUNT(*) AS event_count
+        FROM assigned GROUP BY event_type, window_start
     """,
 }

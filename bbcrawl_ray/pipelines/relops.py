@@ -223,6 +223,26 @@ def broadcast_semi_join(ds: Dataset, keys: Iterable, on: str, anti: bool = False
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: str | None = None,
+    num_partitions: int = 16,
+    join_type: str = "inner",
+) -> Dataset:
+    """Both-sides-large join: Ray Data's hash-partitioned ``Dataset.join``
+    (each side shuffles on the key; use ``broadcast_join`` when one side
+    fits in the object store instead)."""
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,) if right_on else None,
+    )
+
+
 def collect_column(ds: Dataset, col: str) -> np.ndarray:
     """Materialize one column of a SMALL dataset on the driver."""
     parts = [b[col].to_numpy(zero_copy_only=False) for b in ds.iter_batches(batch_format="pyarrow")]
