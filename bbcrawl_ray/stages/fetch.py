@@ -61,10 +61,12 @@ def parse_content_type(ct: str) -> tuple[str, str]:
 
 
 class RobotsRules:
-    """Minimal robots.txt: ``Disallow:`` path prefixes for User-agent *."""
+    """Minimal robots.txt: ``Disallow:`` prefixes + ``Crawl-delay`` for
+    User-agent *."""
 
     def __init__(self, text: str):
         self.disallow: list[str] = []
+        self.crawl_delay: float = 0.0
         active = False
         for line in text.splitlines():
             line = line.split("#", 1)[0].strip()
@@ -76,6 +78,11 @@ class RobotsRules:
                 active = val == "*"
             elif key == "disallow" and active and val:
                 self.disallow.append(val)
+            elif key == "crawl-delay" and active:
+                try:
+                    self.crawl_delay = float(val)
+                except ValueError:
+                    pass
 
     def allowed(self, path: str) -> bool:
         return not any(path.startswith(p) for p in self.disallow)
@@ -120,10 +127,15 @@ class Fetcher:
 
     # -- politeness -------------------------------------------------------
     def _wait_turn(self, host: str) -> None:
-        if self.cfg.min_host_delay_s <= 0:
+        delay = self.cfg.min_host_delay_s
+        rules = self.robots.get(host)
+        if rules is not None and rules.crawl_delay > delay:
+            # robots Crawl-delay overrides the configured floor per host
+            delay = rules.crawl_delay
+        if delay <= 0:
             return
         now = time.monotonic()
-        next_ok = self.last_hit.get(host, 0.0) + self.cfg.min_host_delay_s
+        next_ok = self.last_hit.get(host, 0.0) + delay
         if next_ok > now:
             time.sleep(next_ok - now)
         self.last_hit[host] = time.monotonic()

@@ -113,6 +113,41 @@ def test_cookie_file_parse():
         parse_cookie_lines(["bad\tline"])
 
 
+def test_robots_crawl_delay(ray_session):
+    """A host whose robots.txt declares Crawl-delay gets that spacing even
+    when the configured floor is lower."""
+    import time
+
+    import pyarrow as pa
+
+    from bbcrawl_ray.sources.corpus import Response
+    from bbcrawl_ray.stages.fetch import FetchConfig, Fetcher
+
+    import ray
+
+    pages = {
+        "http://slow.example/robots.txt": Response(
+            200, {"Content-Type": ["text/plain"]}, b"User-agent: *\nCrawl-delay: 0.1\n"
+        ),
+        "http://slow.example/a": Response(200, {"Content-Type": ["text/html"]}, b"<p>a</p>"),
+        "http://slow.example/b": Response(200, {"Content-Type": ["text/html"]}, b"<p>b</p>"),
+    }
+    cfg = FetchConfig(transport="mapping", pages_ref=ray.put(pages), obey_robots=True)
+    f = Fetcher(cfg)
+    batch = pa.table(
+        {
+            "url": ["http://slow.example/a", "http://slow.example/b"],
+            "host": ["slow.example", "slow.example"],
+            "seed_id": ["s", "s"],
+            "page_num": [1, 2],
+        }
+    )
+    t0 = time.monotonic()
+    out = f(batch)
+    assert list(out["error"].to_pylist()) == ["", ""]
+    assert time.monotonic() - t0 >= 0.1  # robots delay enforced between fetches
+
+
 def test_robots_rules():
     r = RobotsRules("User-agent: *\nDisallow: /private/\nDisallow: /tmp\n")
     assert not r.allowed("/private/x")
@@ -120,6 +155,8 @@ def test_robots_rules():
     assert r.allowed("/public")
     other = RobotsRules("User-agent: googlebot\nDisallow: /\n")
     assert other.allowed("/anything")  # rules scoped to other agents ignored
+    d = RobotsRules("User-agent: *\nCrawl-delay: 2.5\n")
+    assert d.crawl_delay == 2.5
 
 
 def test_fetcher_robots_and_politeness(ray_session):
