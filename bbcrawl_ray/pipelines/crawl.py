@@ -94,6 +94,26 @@ def parquet_row_count(d: str) -> int:
     )
 
 
+def partition_manifest(d: str) -> list[dict]:
+    """Per-partition lineage: one record per parquet file (the epoch's
+    physical partitions) — rows + bytes straight from the footers."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(f"{d}/**/*.parquet", recursive=True)):
+        out.append(
+            {
+                "file": os.path.relpath(f, d),
+                "rows": pq.read_metadata(f).num_rows,
+                "bytes": os.path.getsize(f),
+            }
+        )
+    return out
+
+
 def read_parquet_dirs(
     dirs: list[str], schema: pa.Schema, columns: list[str] | None = None
 ) -> Dataset:
@@ -124,10 +144,15 @@ class FetchParse:
     (Ray deserializes the callable once per worker process).
     """
 
-    def __init__(self, fetch_cfg, crawler_spec, strict_errors=False, discover_links=False):
+    def __init__(
+        self, fetch_cfg, crawler_spec, strict_errors=False, discover_links=False, extractor=None
+    ):
         self.fetcher = Fetcher(fetch_cfg)
         self.parser = ParsePages(
-            crawler_spec, strict_errors=strict_errors, discover_links=discover_links
+            crawler_spec,
+            strict_errors=strict_errors,
+            discover_links=discover_links,
+            extractor=extractor,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -259,6 +284,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
 
     for epoch in range(start_epoch, start_epoch + cfg.max_epochs):
         t0 = time.perf_counter()
+        seen_before = sum(seen.sizes())
         # -- budget + skew split (the one host-keyed shuffle), checkpointed
         budgeted = budget_frontier(frontier, cfg.per_host_budget, cfg.skew_split_threshold)
         # hive-partitioned on `selected`: downstream reads are directory-
@@ -284,7 +310,17 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         mode = cfg.fetch_mode
         if mode == "auto":
             mode = "actors" if stateful_fetch else "tasks"
-        fp_args = (fetch_cfg, cfg.crawler, cfg.strict_errors, cfg.follow_links)
+        from ..stages.parse import EXTRACTORS
+
+        # resolve on the driver → custom register_extractor() entries are
+        # serialized by value into the worker-side constructors
+        fp_args = (
+            fetch_cfg,
+            cfg.crawler,
+            cfg.strict_errors,
+            cfg.follow_links,
+            EXTRACTORS.get(cfg.crawler.crawler),
+        )
         if mode == "actors":
             parsed = new_rows.map_batches(
                 FetchParse,
@@ -352,16 +388,32 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
             }
         else:
             status_counts, per_seed = {}, {}
+        seen_sizes = seen.sizes()
+        selected_count = parquet_row_count(f"{frontier_dir}/selected=true")
+        new_urls = sum(seen_sizes) - seen_before
         metrics = {
             "epoch": epoch,
             "pages_parsed": docs_count,
+            "frontier_selected": selected_count,
+            "dedup_hits": selected_count - new_urls,
             "manifest_status": status_counts,
             "docs_per_seed": per_seed,
-            "seen_sizes": seen.sizes(),
+            "seen_sizes": seen_sizes,
             "wall_s": round(time.perf_counter() - t0, 3),
         }
         ckpt.write_json(epoch, "metrics.json", metrics)
-        ckpt.write_json(epoch, "lineage.json", {**lineage_base, "epoch": epoch})
+        ckpt.write_json(
+            epoch,
+            "lineage.json",
+            {
+                **lineage_base,
+                "epoch": epoch,
+                "partitions": {
+                    "frontier": partition_manifest(frontier_dir),
+                    "parsed": partition_manifest(parsed_dir),
+                },
+            },
+        )
         ckpt.mark_complete(epoch)
         metrics_all.append(metrics)
         epochs_run += 1

@@ -285,6 +285,20 @@ def file_crawler_manifest(url: str, page_num: int) -> list[ManifestRow]:
     return [ManifestRow(url, out_name=name, status="pending")]
 
 
+# user-extension surface (reference crawler registry, api.go:27-31):
+# extractor(page_url, page_num, dom_root, spec) -> list[ManifestRow]
+EXTRACTORS = {
+    "src": src_crawler_manifest,
+    "vb-attachments": vb_attachments_manifest,
+}
+
+
+def register_extractor(name: str, fn) -> None:
+    """Register a custom crawler's manifest extractor; referenced by the
+    CrawlerSpec.crawler name in any CrawlConfig."""
+    EXTRACTORS[name] = fn
+
+
 # ---------------------------------------------------------------------------
 # batch function
 
@@ -299,11 +313,20 @@ class ParsePages:
     """
 
     def __init__(
-        self, spec: CrawlerSpec, strict_errors: bool = False, discover_links: bool = False
+        self,
+        spec: CrawlerSpec,
+        strict_errors: bool = False,
+        discover_links: bool = False,
+        extractor=None,
     ):
         self.spec = spec
         self.strict_errors = strict_errors
         self.discover_links = discover_links
+        # resolve the extractor HERE (usually on the driver) so custom
+        # registry entries travel by value to worker processes — a
+        # worker's module-level EXTRACTORS dict never sees driver-side
+        # register_extractor() calls
+        self.extractor = extractor if extractor is not None else EXTRACTORS.get(spec.crawler)
 
     def _links(self, page_url: str, root: Node) -> list[str]:
         """Frontier-discovery extension (no reference counterpart): hrefs of
@@ -375,12 +398,9 @@ class ParsePages:
                     man_rows.append(
                         (doc_id, seed_id, page_num, url, ManifestRow(link, status="", error="link"))
                     )
-            if self.spec.crawler == "src":
-                manifest = src_crawler_manifest(url, page_num, root, self.spec)
-            elif self.spec.crawler == "vb-attachments":
-                manifest = vb_attachments_manifest(url, page_num, root, self.spec)
-            else:
-                manifest = []
+            manifest = (
+                self.extractor(url, page_num, root, self.spec) if self.extractor else []
+            )
             for m in manifest:
                 man_rows.append((doc_id, seed_id, page_num, url, m))
 
