@@ -137,3 +137,38 @@ def test_non_utf8_charset_decode(ray_session, tmp_root):
     docs = res.documents.to_pandas()
     texts = [s["text"] for s in docs.iloc[0]["spans"] if s["kind"] == "text"]
     assert "café motor" in texts
+
+
+def test_custom_extractor_registry_e2e(ray_session, tmp_root):
+    """A driver-registered extractor must reach worker processes (shipped
+    by value through the stage constructors) and dedup metrics must count
+    re-offered URLs."""
+    from bbcrawl_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from bbcrawl_ray.stages.parse import ManifestRow, register_extractor
+
+    def first_img_only(url, page_num, root, spec):
+        from bbcrawl_ray.functions.htmldom import attr_val, elements_by_tag
+        from bbcrawl_ray.functions.urlfns import resolve_link
+
+        for n in elements_by_tag(root, "img"):
+            src = attr_val(n, "src")
+            if src:
+                return [
+                    ManifestRow(resolve_link(url, src), out_name=f"first-{page_num}.img")
+                ]
+        return []
+
+    register_extractor("first-img-test", first_img_only)
+    seeds = [
+        {"seed_id": "a", "pager": "vb4", "blueprint_url": "http://forum.example/t", "start": 1, "end": 3},
+        {"seed_id": "b", "pager": "vb4", "blueprint_url": "http://forum.example/t", "start": 1, "end": 3},
+    ]
+    res = run_crawl(
+        CrawlConfig(
+            crawler=CrawlerSpec(crawler="first-img-test"), seeds=seeds, output_root=tmp_root
+        )
+    )
+    man = res.manifest.to_pandas()
+    assert sorted(man["out_name"]) == ["first-1.img", "first-2.img", "first-3.img"]
+    m = res.metrics[0]
+    assert m["frontier_selected"] == 6 and m["dedup_hits"] == 3 and m["pages_parsed"] == 3
