@@ -238,18 +238,19 @@ def q_events_hourly(sf_dir: str) -> Dataset:
         return pa.table(
             {
                 "event_type": t["event_type"],
-                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "hour": pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("us")),
                 "value_cents": R.cents(t["value"]),
             }
         )
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
-    return R.partial_group_aggregate(
+    out = R.partial_group_aggregate(
         prepped,
         ["event_type", "hour"],
         sums={"value_cents_sum": "value_cents"},
         count_as="event_count",
     )
+    return R.cast_columns(out, {"hour": pa.timestamp("us")})
 
 
 def q_supplier_lineitem_volume(sf_dir: str) -> Dataset:
@@ -295,6 +296,9 @@ def q_events_sessions(sf_dir: str) -> Dataset:
             .reset_index()
         )
         out["user_id"] = g["user_id"].iloc[0]
+        out["session_id"] = out["session_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["session_start"] = out["session_start"].astype("datetime64[us]")
         return out[["user_id", "session_id", "n_events", "session_start"]]
 
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
@@ -346,7 +350,7 @@ def q_urgent_or_big_orders(sf_dir: str) -> Dataset:
 def q_shipdate_range(sf_dir: str) -> Dataset:
     """Min/Max over timestamps per group."""
     ds = R.read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_shipdate"])
-    return R.group_aggregate(
+    out = R.group_aggregate(
         ds,
         ["l_returnflag"],
         {
@@ -354,6 +358,9 @@ def q_shipdate_range(sf_dir: str) -> Dataset:
             "last_ship": ("max", "l_shipdate"),
             "n_items": ("count", None),
         },
+    )
+    return R.cast_columns(
+        out, {"first_ship": pa.timestamp("us"), "last_ship": pa.timestamp("us")}
     )
 
 
@@ -403,7 +410,7 @@ def q_events_sliding_2h(sf_dir: str) -> Dataset:
     ds = R.read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def assign(t: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(t["ts"], unit="hour")
+        hour = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("us"))
         prev = pc.subtract(hour, pa.scalar(3_600_000_000, pa.duration("us")))
         cents = R.cents(t["value"])
         return pa.table(
@@ -421,12 +428,13 @@ def q_events_sliding_2h(sf_dir: str) -> Dataset:
         )
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
-    return R.partial_group_aggregate(
+    out = R.partial_group_aggregate(
         assigned,
         ["event_type", "window_start"],
         sums={"value_cents_sum": "value_cents"},
         count_as="event_count",
     )
+    return R.cast_columns(out, {"window_start": pa.timestamp("us")})
 
 
 def q_sample_orders(sf_dir: str) -> Dataset:
@@ -502,10 +510,10 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_milli,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_milli,
                COUNT(*) AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
@@ -528,7 +536,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "segment_revenue": """
         SELECT c_mktsegment,
-               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                COUNT(*) AS order_count
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
@@ -549,14 +557,14 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "events_hourly": """
         SELECT event_type, date_trunc('hour', ts) AS hour,
-               SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents_sum,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents_sum,
                COUNT(*) AS event_count
         FROM events
         GROUP BY event_type, date_trunc('hour', ts)
     """,
     "supplier_lineitem_volume": """
         SELECT s_name,
-               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS volume_cents,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS volume_cents,
                COUNT(*) AS item_count
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_name
@@ -571,8 +579,8 @@ ORACLE_SQL: dict[str, str] = {
             FROM events),
         s AS (
             SELECT user_id, ts,
-                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM d)
         SELECT user_id, session_id, COUNT(*) AS n_events,
                MIN(ts) AS session_start
@@ -582,7 +590,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT p_brand,
                MIN(p_retailprice) AS min_price,
                MAX(p_retailprice) AS max_price,
-               SUM(CAST(p_size AS BIGINT)) AS size_sum,
+               CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS size_sum,
                COUNT(*) AS part_count
         FROM part GROUP BY p_brand
     """,
@@ -614,7 +622,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "order_lineitem_join": """
         SELECT o_orderpriority,
-               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                COUNT(*) AS item_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
@@ -639,7 +647,7 @@ ORACLE_SQL: dict[str, str] = {
             FROM events
         )
         SELECT event_type, window_start,
-               SUM(cents) AS value_cents_sum,
+               CAST(SUM(cents) AS BIGINT) AS value_cents_sum,
                COUNT(*) AS event_count
         FROM assigned GROUP BY event_type, window_start
     """,

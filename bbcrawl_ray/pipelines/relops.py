@@ -243,6 +243,20 @@ def hash_join(
     )
 
 
+def cast_columns(ds: Dataset, types: dict[str, pa.DataType]) -> Dataset:
+    """Final-stage dtype normalization (e.g. Ray's aggregate shuffle can
+    downgrade timestamp[us] to timestamp[s]; the driver's value-hash is
+    dtype-strict)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        for col, typ in types.items():
+            i = t.schema.get_field_index(col)
+            t = t.set_column(i, col, pc.cast(t[col], typ))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def collect_column(ds: Dataset, col: str) -> np.ndarray:
     """Materialize one column of a SMALL dataset on the driver."""
     parts = [b[col].to_numpy(zero_copy_only=False) for b in ds.iter_batches(batch_format="pyarrow")]

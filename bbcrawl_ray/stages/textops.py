@@ -24,11 +24,17 @@ from ray.data import Dataset
 _BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def _count64(col, pattern: str) -> pa.ChunkedArray:
+    """count_substring_regex returns int32; emit int64 so the output
+    dtype matches DuckDB's BIGINT byte-for-byte in the driver hash."""
+    return pc.cast(pc.count_substring_regex(col, pattern), pa.int64())
+
+
 def add_token_counts(t: pa.Table, col: str = "text") -> pa.Table:
     """n_tokens (whitespace runs) + n_subtokens (BPE-ish pieces), vectorized."""
     return t.append_column(
-        "n_tokens", pc.count_substring_regex(t[col], r"\S+")
-    ).append_column("n_subtokens", pc.count_substring_regex(t[col], _BPE_ISH))
+        "n_tokens", _count64(t[col], r"\S+")
+    ).append_column("n_subtokens", _count64(t[col], _BPE_ISH))
 
 
 def token_count_ds(ds: Dataset, col: str = "text") -> Dataset:
@@ -45,14 +51,14 @@ _STOP_RE = r"\b(" + "|".join(_STOPWORDS) + r")\b"
 def add_quality_counts(t: pa.Table, col: str = "text") -> pa.Table:
     text = t[col]
     return (
-        t.append_column("n_chars_q", pc.utf8_length(text))
-        .append_column("n_alpha", pc.count_substring_regex(text, r"[A-Za-z]"))
-        .append_column("n_digit", pc.count_substring_regex(text, r"[0-9]"))
-        .append_column("n_punct", pc.count_substring_regex(text, r"[^A-Za-z0-9\s]"))
-        .append_column("n_tokens", pc.count_substring_regex(text, r"\S+"))
+        t.append_column("n_chars_q", pc.cast(pc.utf8_length(text), pa.int64()))
+        .append_column("n_alpha", _count64(text, r"[A-Za-z]"))
+        .append_column("n_digit", _count64(text, r"[0-9]"))
+        .append_column("n_punct", _count64(text, r"[^A-Za-z0-9\s]"))
+        .append_column("n_tokens", _count64(text, r"\S+"))
         .append_column(
             "n_stopwords",
-            pc.count_substring_regex(pc.utf8_lower(text), _STOP_RE),
+            pc.cast(pc.count_substring_regex(pc.utf8_lower(text), _STOP_RE), pa.int64()),
         )
     )
 
@@ -145,6 +151,56 @@ def fingerprint(text: str, window: int = 5) -> int:
     return best
 
 
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _powers(n: int) -> np.ndarray:
+    """[B^(n-1), ..., B, 1] mod 2^64 — Horner expansion coefficients."""
+    p = _POW_CACHE.get(n)
+    if p is None:
+        p = np.empty(n, dtype=np.uint64)
+        acc = np.uint64(1)
+        base = np.uint64(_FP_BASE)
+        for i in range(n - 1, -1, -1):
+            p[i] = acc
+            acc = acc * base  # uint64 wrap == mod 2^64
+        _POW_CACHE[n] = p
+    return p
+
+
+def fingerprint_batch(texts: list[str], window: int = 5) -> np.ndarray:
+    """Vectorized ``fingerprint`` over a batch: unique tokens hashed once
+    (FNV cache), then a numpy sliding-window polynomial hash — identical
+    modular arithmetic to the scalar path, no per-window Python loop."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    old = np.seterr(over="ignore")
+    try:
+        cache: dict[str, int] = {}
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            toks = text.split()
+            if not toks:
+                continue
+            th = np.empty(len(toks), dtype=np.uint64)
+            for j, tk in enumerate(toks):
+                h = cache.get(tk)
+                if h is None:
+                    h = hash64_token(tk)
+                    cache[tk] = h
+                th[j] = h
+            n = len(th)
+            if n <= window:
+                out[i] = np.sum(th * _powers(n), dtype=np.uint64)
+            else:
+                wins = sliding_window_view(th, window)
+                hashes = np.sum(wins * _powers(window), axis=1, dtype=np.uint64)
+                out[i] = hashes.min()
+        return out
+    finally:
+        np.seterr(**old)
+
+
 def add_fingerprint(t: pa.Table, col: str = "text", window: int = 5) -> pa.Table:
-    fps = [fingerprint(x, window) for x in t[col].to_pylist()]
+    fps = fingerprint_batch(t[col].to_pylist(), window)
     return t.append_column("fingerprint", pa.array(fps, pa.uint64()))

@@ -1,0 +1,97 @@
+"""Local emulation of the graft driver's oracle compare.
+
+Runs each queries() entry and its oracle_sql() side-by-side over a
+sf dir, sorts columns by name and rows by value, then compares with
+strict dtype equality (a superset of the driver's value-hash check:
+if this passes, hash_match passes).
+
+Usage: python tests/driver_compare.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 ignore_reinit_error=True, log_to_driver=False)
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            continue
+        try:
+            mine = canon(to_pandas(fn(sf_dir)))
+            ora = canon(con.execute(oracles[name]).fetchdf())
+        except Exception as ex:  # noqa: BLE001
+            failures.append((name, f"ERROR {ex!r}"))
+            print(f"{name}: ERROR {ex!r}")
+            continue
+        rows_ok = len(mine) == len(ora)
+        schema_ok = list(mine.columns) == list(ora.columns)
+        dtype_ok = schema_ok and all(
+            str(mine[c].dtype) == str(ora[c].dtype) for c in mine.columns
+        )
+        val_ok = rows_ok and schema_ok and mine.equals(ora)
+        status = "OK" if (rows_ok and schema_ok and dtype_ok and val_ok) else "FAIL"
+        print(f"{name}: {status} rows={rows_ok} schema={schema_ok} dtypes={dtype_ok} values={val_ok}")
+        if status == "FAIL":
+            failures.append((name, ""))
+            if schema_ok and not dtype_ok:
+                for c in mine.columns:
+                    if str(mine[c].dtype) != str(ora[c].dtype):
+                        print(f"  dtype {c}: mine={mine[c].dtype} oracle={ora[c].dtype}")
+            elif not schema_ok:
+                print(f"  cols mine={list(mine.columns)} oracle={list(ora.columns)}")
+    print(f"\n{len(failures)} failures" if failures else "\nall green")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

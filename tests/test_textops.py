@@ -45,3 +45,21 @@ def test_fingerprint_deterministic():
     # min-window property: appending junk far away often preserves the min window
     d = T.fingerprint("the quick brown fox jumps over the lazy dog zzz yyy xxx")
     assert isinstance(d, int)
+
+
+def test_fingerprint_batch_matches_scalar():
+    import numpy as np
+
+    texts = [
+        "",
+        "one",
+        "two words",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog zzz yyy xxx " * 20,
+        "exact five token window here",
+        "six tokens in this one right",
+        "unicode tökens ünd ßtuff 日本語 mixed in here too okay",
+    ]
+    batch = T.fingerprint_batch(texts)
+    scalar = np.array([T.fingerprint(x) for x in texts], dtype=np.uint64)
+    assert (batch == scalar).all()
