@@ -146,20 +146,18 @@ def hash64(s: str) -> int:
 
 
 def hash64_batch(strings) -> "numpy.ndarray":  # noqa: F821
-    """Vectorized 64-bit hashing for Arrow/numpy string arrays.
+    """Batch 64-bit hashing for Arrow/numpy string arrays.
 
-    Uses polars' xxhash64 when available (fast path for the 10^10-URL
-    frontier); falls back to the sha1-based ``hash64``. The URL-seen
-    parity suite runs in exact mode (full canonical URLs), so only
-    within-run consistency of this hash is load-bearing.
+    Always the sha1-based ``hash64``: url_hash is PERSISTED in frontier
+    checkpoints and reused on resume to rebuild the URL-seen shards, so
+    the hash must be stable across processes, library versions and
+    environments. (polars' xxhash64 is ~7× faster but documented as
+    unstable across versions — ~1 µs/url is noise next to a fetch, and
+    a resume with mismatched hashes silently loses the whole seen-set
+    in bloom/cuckoo modes.)
     """
     import numpy as np
 
-    try:
-        import polars as pl
-
-        return pl.Series(strings).hash(seed=0).to_numpy().astype(np.uint64)
-    except Exception:
-        return np.fromiter(
-            (hash64(s) for s in strings), dtype=np.uint64, count=len(strings)
-        )
+    return np.fromiter(
+        (hash64(s) for s in strings), dtype=np.uint64, count=len(strings)
+    )

@@ -169,6 +169,14 @@ class CrawlResult:
 
 
 def _fetch_cfg(cfg: CrawlConfig, pages_ref) -> FetchConfig:
+    # a delay can be in force either from config or from robots
+    # Crawl-delay — both need the GLOBAL clock so spacing holds across
+    # the whole fetch pool, not per actor
+    clock = None
+    if cfg.min_host_delay_s > 0 or cfg.obey_robots:
+        from ..state.politeness import HostClock
+
+        clock = HostClock(num_shards=4)
     return FetchConfig(
         transport=cfg.transport,
         corpus=cfg.corpus,
@@ -178,6 +186,7 @@ def _fetch_cfg(cfg: CrawlConfig, pages_ref) -> FetchConfig:
         min_host_delay_s=cfg.min_host_delay_s,
         cookies=cfg.cookies,
         debug_dir=f"{cfg.output_root}/debug" if cfg.crawler.debug else "",
+        clock=clock,
     )
 
 
@@ -223,14 +232,22 @@ def _links_to_frontier(links: pa.Table, epoch: int, seed_hosts: set[str], same_h
     canon = [canonicalize_url(u) for u in urls]
     n = len(urls)
     hashes = hash64_batch(canon) if n else []
-    page_nums = [int(h) % (2**31) + 2**31 for h in hashes]  # disjoint from seed pages
+    # page_num keys doc_id and output names, so discovered pages need the
+    # full hash width: [2^31, 2^63) is disjoint from seed page numbers and
+    # keeps ~62 bits of entropy (31 bits made collisions likely at ~10^5
+    # links per seed)
+    page_nums = [int(h) % (2**63 - 2**31) + 2**31 for h in hashes]
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "canon_url": pa.array(canon, pa.string()),
             "host": pa.array([host_of(u) for u in urls], pa.string()),
             "page_num": pa.array(page_nums, pa.int64()),
-            "priority": pa.array([-(10**6) - p for p in page_nums], pa.int64()),
+            # below every seed page's priority, deterministic per URL,
+            # bounded so it can't overflow int64
+            "priority": pa.array(
+                [-(10**6) - (p % (2**31)) for p in page_nums], pa.int64()
+            ),
             "depth": pa.array([epoch] * n, pa.int32()),
             "seed_id": pa.array(seed_ids, pa.string()),
             "url_hash": pa.array(hashes, pa.uint64()),

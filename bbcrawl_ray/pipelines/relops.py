@@ -167,7 +167,10 @@ def topk(ds: Dataset, by: Sequence[str], descending: Sequence[bool], k: int) -> 
 
 
 def distinct(ds: Dataset, cols: Sequence[str]) -> Dataset:
-    """Distinct tuples via per-block dedup + grouped first (shuffle on cols)."""
+    """Distinct tuples: per-block Arrow dedup, then one NATIVE grouped
+    count whose count column is dropped — no per-group Python UDF, no
+    pandas conversion (a ``map_groups(head(1))`` tail costs one Python
+    call per distinct key, the dominant cost at millions of keys)."""
     cols = list(cols)
 
     def local(t: pa.Table) -> pa.Table:
@@ -175,9 +178,8 @@ def distinct(ds: Dataset, cols: Sequence[str]) -> Dataset:
 
     deduped = ds.map_batches(local, batch_format="pyarrow")
     key = cols if len(cols) > 1 else cols[0]
-    return deduped.groupby(key).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    out = deduped.groupby(key).count()
+    return out.drop_columns(["count()"])
 
 
 # ---------------------------------------------------------------------------

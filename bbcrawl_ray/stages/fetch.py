@@ -4,11 +4,13 @@ The reference fetches serially with one shared http.Client whose cookie
 jar is lazily built on first request (crawlers.go:88-124); politeness
 is implicit in the serial loop. Here fetch runs as
 ``map_batches(Fetcher, concurrency=(min,max))`` — an actor pool whose
-per-actor state (transport, cookie jar, robots cache, per-host
-last-fetch clock) is built ONCE in ``__init__`` and amortized across
-batches. The frontier is host-partitioned upstream so one host's
-politeness/cookie state lives in one actor (SURVEY.md §4 shared-state
-row).
+per-actor state (transport, cookie jar, robots cache) is built ONCE
+in ``__init__`` and amortized across batches. Rate limiting is NOT
+per-actor: one host's frontier rows scatter across the pool, so the
+per-host clock lives in shared ``HostClockShard`` actors
+(state/politeness.py) that every fetcher reserves slots from —
+spacing holds cluster-wide regardless of partitioning (SURVEY.md §4
+shared-state row).
 
 Redirect policy parity (libhttp/redirect/redirect.go):
 - allow (Log): follow up to 10 redirects, record the chain; >10 → error
@@ -50,6 +52,9 @@ class FetchConfig:
     cookies: dict = field(default_factory=dict)  # broadcast cookie set
     debug_dir: str = ""  # when set: dump request/response headers per fetch
     # (reference -debug, crawlers.go:55-82 "{n} - Request Header.txt")
+    clock: object = None  # state.politeness.HostClock — GLOBAL per-host
+    # rate clock shared by every fetcher; without it each actor only has
+    # its own last-hit map and a host is hit pool-size× too fast
 
 
 def parse_content_type(ct: str) -> tuple[str, str]:
@@ -134,6 +139,11 @@ class Fetcher:
             delay = rules.crawl_delay
         if delay <= 0:
             return
+        if self.cfg.clock is not None:
+            # global slot reservation — spacing holds across the whole
+            # actor pool, not just this worker (state/politeness.py)
+            self.cfg.clock.wait_turn(host, delay)
+            return
         now = time.monotonic()
         next_ok = self.last_hit.get(host, 0.0) + delay
         if next_ok > now:
@@ -157,13 +167,18 @@ class Fetcher:
         Cookies, the politeness clock, and robots are all keyed by the
         CURRENT hop's host — a redirect to another host must not leak
         the first host's cookies or charge its rate budget."""
-        from urllib.parse import urlsplit
+        from urllib.parse import urljoin, urlsplit
 
         chain: list[str] = []
         current = url
+        prev_host = host
         for _hop in range(MAX_REDIRECTS + 2):
             s = urlsplit(current)
-            cur_host = (s.hostname or host).lower()
+            # fallback: the CURRENT hop's host, never the original frontier
+            # row's — after a cross-host hop robots/cookies/rate must not
+            # rebind to the first host
+            cur_host = (s.hostname or prev_host).lower()
+            prev_host = cur_host
             if not self._robots_allowed(cur_host, s.scheme or "http", s.path or "/"):
                 return Response(), chain, "blocked by robots.txt"
             req_headers = {}
@@ -185,10 +200,13 @@ class Fetcher:
                     return resp, chain, (
                         f'Attempted Redirection: "{current}" → "{resp.redirect_to}"'
                     )
-                chain.append(resp.redirect_to)
+                # a relative Location resolves against the CURRENT url
+                # (Go's http.Client does the same via Response.Location)
+                target = urljoin(current, resp.redirect_to)
+                chain.append(target)
                 if len(chain) > MAX_REDIRECTS:
                     return resp, chain, "Too many redirects"
-                current = resp.redirect_to
+                current = target
                 continue
             return resp, chain, ""
         return Response(), chain, "Too many redirects"
@@ -215,7 +233,14 @@ class Fetcher:
             bodies.append(resp.body if not err else b"")
             encs.append(enc or "utf-8")
             chains.append(chain)
-            headers_col.append([(k, v[0]) for k, v in resp.headers.items()])
+            # one map entry per header VALUE: repeated headers (multiple
+            # Set-Cookie) all survive, and a plain-string value is kept
+            # whole instead of silently truncating to its first character
+            pairs = []
+            for k, vals in resp.headers.items():
+                for v in (vals if isinstance(vals, (list, tuple)) else [vals]):
+                    pairs.append((k, v))
+            headers_col.append(pairs)
             errors.append(err)
 
         from .. import schemas

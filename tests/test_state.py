@@ -90,11 +90,11 @@ def test_budget_frontier_skew_split(ray_session):
     assert hot.selected.sum() == 60
     assert set(hot[hot.selected].page_num) == set(range(1, 61))
     assert cold.selected.all()
-    # skew split: hot host fans into ceil(60/20)=3 sub-shards
-    assert hot.host_shard.nunique() == 3
-    assert cold.host_shard.nunique() == 1
-    # sub-shards share the ONE budget chosen before the split
+    # skew split: the hot host's WINNERS fan into ceil(60/20)=3 sub-shards;
+    # deferred rows keep the plain host key (they never fetch this epoch)
     assert hot[hot.selected].host_shard.nunique() == 3
+    assert (hot[~hot.selected].host_shard == "hot.example").all()
+    assert cold.host_shard.nunique() == 1
 
 
 def test_cookie_file_parse():
@@ -183,3 +183,127 @@ def test_fetcher_robots_and_politeness(ray_session):
     assert errs[1] == "" and errs[2] == ""
     # min-delay enforced between the two same-host page fetches
     assert elapsed >= 0.05
+
+
+def test_host_clock_global_spacing(ray_session):
+    """Slots reserved from many concurrent workers for ONE host are spaced
+    >= delay apart — the politeness guarantee across the whole fetch pool."""
+    import time
+
+    import ray
+
+    from bbcrawl_ray.state.politeness import HostClock
+
+    clock = HostClock(num_shards=2)
+
+    @ray.remote(num_cpus=0)
+    def reserve_one():
+        return clock.reserve("same.example", 0.1)
+
+    slots = sorted(ray.get([reserve_one.remote() for _ in range(8)]))
+    diffs = [b - a for a, b in zip(slots, slots[1:])]
+    assert all(d >= 0.1 - 1e-6 for d in diffs), diffs
+    # distinct hosts do not contend: both get immediate slots
+    now = time.time()
+    assert clock.reserve("a.example", 5.0) <= now + 0.5
+    assert clock.reserve("b.example", 5.0) <= now + 0.5
+
+
+def test_budget_frontier_multiblock_exact(ray_session):
+    """Budgeted selection is exact across many blocks: the per-block
+    top-(budget) prune (skew safety) must not change which rows win."""
+    import ray.data as rd
+
+    from bbcrawl_ray import schemas
+    from bbcrawl_ray.state.politeness import budget_frontier
+
+    n = 200
+    rows = pa.table(
+        {
+            "url": pa.array([f"http://hot.example/p{i:04d}" for i in range(n)]),
+            "canon_url": pa.array([f"http://hot.example/p{i:04d}" for i in range(n)]),
+            "host": pa.array(["hot.example"] * n),
+            "page_num": pa.array(list(range(n)), pa.int64()),
+            "priority": pa.array([i % 7 for i in range(n)], pa.int64()),
+            "depth": pa.array([0] * n, pa.int32()),
+            "seed_id": pa.array(["s"] * n),
+            "url_hash": pa.array([i for i in range(n)], pa.uint64()),
+            "discovered_from": pa.array([""] * n),
+            "epoch": pa.array([0] * n, pa.int32()),
+        },
+        schema=schemas.FRONTIER,
+    )
+    frontier = rd.from_arrow(rows).repartition(10)
+    out = budget_frontier(frontier, per_host_budget=15, skew_split_threshold=5).to_pandas()
+    assert len(out) == n  # nothing lost: every non-winner deferred
+    expected = (
+        out.sort_values(["priority", "page_num", "url"], ascending=[False, True, True])
+        .head(15)["page_num"]
+        .tolist()
+    )
+    assert sorted(out[out.selected]["page_num"].tolist()) == sorted(expected)
+    # skew split applies to the winners: ceil(15/5)=3 sub-shards
+    assert out[out.selected]["host_shard"].nunique() == 3
+
+
+def test_relative_redirect_resolution(ray_session):
+    """A relative Location resolves against the current URL and the hop's
+    politeness/cookies key on the resolved host (not the frontier row's)."""
+    import ray
+
+    from bbcrawl_ray.sources.corpus import Response
+    from bbcrawl_ray.stages.fetch import FetchConfig, Fetcher
+
+    pages = {
+        "http://a.example/start": Response(302, {}, b"", redirect_to="/moved"),
+        "http://a.example/moved": Response(
+            200, {"Content-Type": ["text/html"]}, b"<p>ok</p>"
+        ),
+    }
+    f = Fetcher(FetchConfig(transport="mapping", pages_ref=ray.put(pages)))
+    batch = pa.table(
+        {
+            "url": ["http://a.example/start"],
+            "host": ["a.example"],
+            "seed_id": ["s"],
+            "page_num": [1],
+        }
+    )
+    out = f(batch)
+    assert out["error"].to_pylist() == [""]
+    assert out["redirect_chain"].to_pylist() == [["http://a.example/moved"]]
+    assert out["status"].to_pylist() == [200]
+
+
+def test_headers_multivalue_preserved(ray_session):
+    """Repeated headers (multiple Set-Cookie) all land in the PAGES headers
+    map; plain-string values are kept whole."""
+    import ray
+
+    from bbcrawl_ray.sources.corpus import Response
+    from bbcrawl_ray.stages.fetch import FetchConfig, Fetcher
+
+    pages = {
+        "http://h.example/p": Response(
+            200,
+            {
+                "Content-Type": ["text/html"],
+                "Set-Cookie": ["a=1", "b=2"],
+                "X-Plain": "whole-string",
+            },
+            b"<p>x</p>",
+        )
+    }
+    f = Fetcher(FetchConfig(transport="mapping", pages_ref=ray.put(pages)))
+    batch = pa.table(
+        {
+            "url": ["http://h.example/p"],
+            "host": ["h.example"],
+            "seed_id": ["s"],
+            "page_num": [1],
+        }
+    )
+    hdrs = f(batch)["headers"].to_pylist()[0]
+    pairs = set(hdrs.items()) if isinstance(hdrs, dict) else set(hdrs)
+    assert ("Set-Cookie", "a=1") in pairs and ("Set-Cookie", "b=2") in pairs
+    assert ("X-Plain", "whole-string") in pairs
