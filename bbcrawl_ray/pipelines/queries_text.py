@@ -70,9 +70,10 @@ def q_dedup_exact(sf_dir: str) -> Dataset:
 
 
 def q_minhash_clusters(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH near-dup clusters (rows-only)."""
+    """MinHash+LSH near-dup clusters (rows-only). Fully distributed
+    pipeline; the small (doc_id, cluster_id) result collects at the end."""
     ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = D.minhash_dedup(ds, threshold=0.5)
+    out = D.minhash_dedup(ds, threshold=0.5).to_pandas()
     return out.sort_values(["doc_id"]).reset_index(drop=True)
 
 
@@ -151,6 +152,60 @@ def q_media_features(sf_dir: str) -> Dataset:
 
 
 # ---------------------------------------------------------------------------
+# seed readers + sketches
+
+
+def q_read_seeds(sf_dir: str) -> Dataset:
+    """Seed-table reader with defaults filled (sources/readers.py): a seed
+    parquet derived from the region table round-trips through
+    ``read_seeds`` and comes back with every optional column defaulted —
+    the oracle reproduces the same table with literal defaults."""
+    import os
+
+    from ..sources.readers import read_seeds
+
+    region = R.read_table(sf_dir, "region").to_pandas().sort_values("r_regionkey")
+    seeds = pd.DataFrame(
+        {
+            "seed_id": region["r_name"],
+            "pager": "query",
+            "blueprint_url": "http://forum.example/" + region["r_name"],
+            "start": np.int64(1),
+            "end": (region["r_regionkey"] + 3).astype("int64"),
+        }
+    )
+    out_dir = "/tmp/bbcrawl_seeds_query"
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "seeds.parquet")
+    seeds.to_parquet(path, index=False)
+    cols = [
+        "seed_id", "pager", "blueprint_url", "start", "end",
+        "name", "cut_index", "cut_len", "step", "digits", "adjust", "startpage",
+    ]
+    return read_seeds(path).select_columns(cols)
+
+
+def q_approx_distinct(sf_dir: str) -> pd.DataFrame:
+    """HLL approximate COUNT(DISTINCT o_custkey) next to the exact count
+    (rows-only: the estimate is approximate by design; the row lets the
+    driver eyeball the relative error)."""
+    from ..stages.sampling import approx_distinct
+
+    ds = R.read_table(sf_dir, "orders", columns=["o_custkey"])
+    est = approx_distinct(ds, "o_custkey", p=12)
+    exact = R.distinct(ds, ["o_custkey"]).count()
+    return pd.DataFrame(
+        [
+            {
+                "approx_distinct": float(est),
+                "exact_distinct": int(exact),
+                "rel_err": abs(est - exact) / max(1, exact),
+            }
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
 # crawl pipelines as driver entries (rows-only; not SQL-expressible)
 
 
@@ -196,6 +251,8 @@ TEXT_QUERIES = {
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "media_features": q_media_features,
     "crawl_documents": q_crawl_documents,
+    "read_seeds": q_read_seeds,
+    "approx_distinct": q_approx_distinct,
 }
 
 _BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -221,6 +278,16 @@ TEXT_ORACLE_SQL = {
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*) AS dup_count
         FROM documents GROUP BY substr(text, 1, 30)
+    """,
+    "read_seeds": """
+        SELECT r_name AS seed_id, 'query' AS pager,
+               'http://forum.example/' || r_name AS blueprint_url,
+               CAST(1 AS BIGINT) AS start, CAST(r_regionkey + 3 AS BIGINT) AS "end",
+               'page' AS name, CAST(0 AS BIGINT) AS cut_index,
+               CAST(0 AS BIGINT) AS cut_len, CAST(1 AS BIGINT) AS step,
+               CAST(0 AS BIGINT) AS digits, CAST(0 AS BIGINT) AS adjust,
+               '' AS startpage
+        FROM region
     """,
     "embedding_knn": """
         WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

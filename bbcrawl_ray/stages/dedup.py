@@ -45,12 +45,20 @@ def exact_dedup(ds: Dataset, key: str = "text", id_col: str = "doc_id") -> Datas
 
 
 def exact_dedup_keep_first(ds: Dataset, key: str = "text") -> Dataset:
-    """Keep the full first row (min doc_id) per distinct key."""
+    """Keep the full first row (min doc_id) per distinct key.
+
+    Per-block pre-dedup first: the grouped stage then sees at most one
+    row per key per block (bounded groups — a key with millions of dups
+    never materializes as one giant pandas group)."""
+
+    def local_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id", kind="mergesort").drop_duplicates(key)
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values("doc_id").head(1)
 
-    return ds.groupby(key).map_groups(first, batch_format="pandas")
+    pre = ds.map_batches(local_first, batch_format="pandas")
+    return pre.groupby(key).map_groups(first, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -147,17 +155,34 @@ _PAIR_CAP = 200  # per-bucket cap guards a degenerate bucket's O(n²) blowup
 
 def _shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
     """Pairs for every ≥2-member bucket inside one hash shard — a pandas
-    groupby over the shard (vectorized), not a per-bucket UDF call."""
+    groupby over the shard (vectorized), not a per-bucket UDF call.
+
+    Degenerate buckets (> _PAIR_CAP members) are truncated; the drop is
+    LOGGED, never silent — truncated coverage must not read as full."""
+    import logging
+
     left, right = [], []
+    dropped_docs = 0
     multi = g.groupby(["band_id", "band_hash"])["doc_id"]
     for _, ids in multi:
         if len(ids) < 2:
             continue
-        u = np.sort(ids.unique())[:_PAIR_CAP]
+        u = np.sort(ids.unique())
+        if len(u) > _PAIR_CAP:
+            dropped_docs += len(u) - _PAIR_CAP
+            u = u[:_PAIR_CAP]
         for i in range(len(u)):
             for j in range(i + 1, len(u)):
                 left.append(u[i])
                 right.append(u[j])
+    if dropped_docs:
+        logging.getLogger(__name__).warning(
+            "minhash LSH: %d doc ids dropped from degenerate buckets "
+            "(> %d members) in this shard — near-dup recall is partial "
+            "for those docs",
+            dropped_docs,
+            _PAIR_CAP,
+        )
     df = pd.DataFrame({"left_id": left, "right_id": right})
     return df.drop_duplicates()
 
@@ -225,10 +250,12 @@ class JaccardVerify:
                 keep_l.append(l)
                 keep_r.append(r)
                 jac.append(j)
+        # typed even when everything filtered: an untyped empty batch makes
+        # the streaming executor warn about schema-less RefBundles
         return pa.table(
             {
-                "left_id": pa.array(keep_l),
-                "right_id": pa.array(keep_r),
+                "left_id": pa.array(keep_l, t["left_id"].type),
+                "right_id": pa.array(keep_r, t["right_id"].type),
                 "jaccard": pa.array(jac, pa.float64()),
             }
         )
@@ -272,47 +299,233 @@ def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": out_doc, "cluster_id": out_cluster})
 
 
-def minhash_dedup(
-    ds: Dataset, id_col="doc_id", text_col="text", k=5, threshold=0.8
-) -> pd.DataFrame:
-    """Full near-dup pipeline → (doc_id, cluster_id) for clustered docs.
-
-    Scale posture: only CANDIDATE docs' texts are broadcast to the
-    verify stage — LSH prunes the corpus to the (tiny) candidate set
-    first, then a broadcast semi-join pulls just those texts. The full
-    corpus text never leaves its blocks and never lands on the driver.
-    """
+def _join_partitions(requested: int | None = None) -> int:
+    """Join fan-out sized to the cluster: hash-shuffle aggregator actors
+    reserve resources per partition, so 16 partitions on a 4-CPU test
+    cluster starve the map stages (near-deadlock). Clamp to [2, cpus]."""
     import ray
 
-    cands = minhash_candidates(ds, id_col=id_col, text_col=text_col, k=k).materialize()
-    cand_ids: set = set()
-    for b in cands.iter_batches(batch_format="pyarrow"):
-        cand_ids.update(b["left_id"].to_pylist())
-        cand_ids.update(b["right_id"].to_pylist())
-    if not cand_ids:
-        return pd.DataFrame({"doc_id": [], "cluster_id": []})
-    id_set_ref = ray.put(pa.array(sorted(cand_ids)))
+    if requested is not None:
+        return requested
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(16, cpus))
 
-    def keep_candidates(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t[id_col], value_set=ray.get(id_set_ref)))
 
-    texts: dict = {}
-    for b in (
-        ds.select_columns([id_col, text_col])
-        .map_batches(keep_candidates, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-    ):
-        texts.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
-    texts_ref = ray.put(texts)
-    verified = cands.map_batches(
-        JaccardVerify,
-        fn_constructor_args=(texts_ref, k, threshold),
-        batch_format="pyarrow",
-        concurrency=2,
-        num_cpus=0.5,
+def _compact_blocks(ds: Dataset) -> Dataset:
+    """Materialize and drop schema-less EMPTY blocks.
+
+    Ray's hash-shuffle operators (groupby/join) emit zero-column empty
+    blocks for empty partitions; feeding those into a ``Dataset.join``
+    fails with "No match for key field reference". Row blocks stay in
+    the object store (refs are reused, nothing lands on the driver)."""
+    import ray
+    import ray.data as rd
+
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    keep = [r for r, n in zip(refs, ray.get([_nrows.remote(r) for r in refs])) if n > 0]
+    if not keep:
+        return mat
+    return rd.from_arrow_refs(keep)
+
+
+def _rename(ds: Dataset, mapping: dict[str, str], keep: list[str]) -> Dataset:
+    """select+rename as a vectorized Arrow map (no pandas round-trip).
+
+    Output column order is the SORTED new names — unions of renamed
+    datasets must agree on order or Ray's join chokes on the mixed
+    schemas."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.select(keep)
+        t = t.rename_columns([mapping.get(c, c) for c in t.column_names])
+        return t.select(sorted(t.column_names))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def distinct_pairs(pairs: Dataset) -> Dataset:
+    """Distinct (left_id, right_id): per-block Arrow dedup + one native
+    grouped count (no per-group UDF)."""
+
+    def local(t: pa.Table) -> pa.Table:
+        return t.select(["left_id", "right_id"]).group_by(
+            ["left_id", "right_id"]
+        ).aggregate([])
+
+    p = pairs.map_batches(local, batch_format="pyarrow")
+    return p.groupby(["left_id", "right_id"]).count().drop_columns(["count()"])
+
+
+class ShingleStage:
+    """(id, text) → (id, shingles as packed uint64-LE bytes): shingle once
+    per doc so the verify join never re-shingles per pair. Bytes, not a
+    list column, because Arrow's acero join rejects list-typed payload
+    fields."""
+
+    def __init__(self, id_col="doc_id", text_col="text", k=5):
+        self.id_col, self.text_col, self.k = id_col, text_col, k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        payloads = [char_shingles(x, self.k).tobytes() for x in texts]
+        return pa.table(
+            {
+                self.id_col: t[self.id_col],
+                "shingles": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+
+def _verify_joined(t: pa.Table, threshold: float) -> pa.Table:
+    """Per-row Jaccard over packed (left_sh, right_sh) shingle bytes."""
+    lefts = t["left_id"]
+    rights = t["right_id"]
+    ls = t["left_sh"].to_pylist()
+    rs = t["right_sh"].to_pylist()
+    keep = np.zeros(t.num_rows, dtype=bool)
+    jac = np.zeros(t.num_rows, dtype=np.float64)
+    for i, (a_b, b_b) in enumerate(zip(ls, rs)):
+        a = np.frombuffer(a_b or b"", dtype=np.uint64)
+        b = np.frombuffer(b_b or b"", dtype=np.uint64)
+        if a.size == 0 and b.size == 0:
+            continue
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        j = inter / max(1, a.size + b.size - inter)
+        if j >= threshold:
+            keep[i] = True
+            jac[i] = j
+    idx = np.nonzero(keep)[0]
+    return pa.table(
+        {
+            "left_id": lefts.take(pa.array(idx, pa.int64())),
+            "right_id": rights.take(pa.array(idx, pa.int64())),
+            "jaccard": pa.array(jac[idx], pa.float64()),
+        }
     )
-    pairs = verified.to_pandas().drop_duplicates(["left_id", "right_id"])
-    return connected_components(pairs)
+
+
+def verify_pairs_distributed(
+    pairs: Dataset,
+    ds: Dataset,
+    id_col="doc_id",
+    text_col="text",
+    k: int = 5,
+    threshold: float = 0.8,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Jaccard-verify candidate pairs WITHOUT driver-side text collection.
+
+    Texts are reduced to shingle sets once per doc, then hash-partitioned
+    ``Dataset.join``s attach left/right shingles to each pair. Everything
+    shuffles on doc_id; nothing candidate-proportional ever lands on the
+    driver, so a 30-50% dup-rate corpus (the web-scale norm) streams.
+    """
+    shingled = ds.select_columns([id_col, text_col]).map_batches(
+        ShingleStage(id_col, text_col, k), batch_format="pyarrow"
+    )
+    left_sh = _rename(shingled, {id_col: "left_id", "shingles": "left_sh"}, [id_col, "shingles"])
+    right_sh = _rename(shingled, {id_col: "right_id", "shingles": "right_sh"}, [id_col, "shingles"])
+    nparts = _join_partitions(num_partitions)
+    pairs = _compact_blocks(pairs)
+    j1 = pairs.join(
+        left_sh, join_type="inner", num_partitions=nparts, on=("left_id",)
+    )
+    j2 = j1.join(
+        right_sh, join_type="inner", num_partitions=nparts, on=("right_id",)
+    )
+    return j2.map_batches(
+        lambda t: _verify_joined(t, threshold), batch_format="pyarrow"
+    )
+
+
+def cluster_propagate(pairs: Dataset, max_iters: int = 50) -> Dataset:
+    """(left_id, right_id) edges → (doc_id, cluster_id=min reachable id),
+    fully distributed: iterative min-label propagation.
+
+    Each round: every node offers its label to its neighbors
+    (edges ⋈ labels join), then labels = min(own, best offer) via one
+    native grouped Min. Labels only decrease, so the label SUM strictly
+    decreases until fixpoint — convergence needs no extra compare join.
+    LSH-derived near-dup clusters are near-cliques, so this typically
+    converges in 2-3 rounds (≤ log diameter in general).
+    """
+    from ray.data.aggregate import Sum
+
+    # dedup edges, then drop the schema-less empty blocks shuffle ops
+    # emit (they break the joins below); materialized because the edge
+    # set is consumed every iteration
+    pairs = _compact_blocks(distinct_pairs(pairs))
+    swapped = _rename(pairs, {"left_id": "dst", "right_id": "src"}, ["left_id", "right_id"])
+    fwd = _rename(pairs, {"left_id": "src", "right_id": "dst"}, ["left_id", "right_id"])
+    edges = _compact_blocks(fwd.union(swapped))
+    if edges.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+        )
+
+    # edges are symmetric, so distinct src covers every node; column
+    # order everywhere is the sorted [label, node] so unions stay uniform
+    labels = (
+        _rename(edges, {"src": "node"}, ["src"])
+        .groupby("node")
+        .count()
+        .drop_columns(["count()"])
+        .map_batches(
+            lambda t: pa.table({"label": t["node"], "node": t["node"]}),
+            batch_format="pyarrow",
+        )
+    )
+    labels = _compact_blocks(labels)
+
+    nparts = _join_partitions()
+    prev_sum = None
+    for _ in range(max_iters):
+        offers = edges.join(
+            labels, join_type="inner", num_partitions=nparts, on=("src",), right_on=("node",)
+        )
+        offers = _rename(offers, {"dst": "node"}, ["dst", "label"])
+        merged = offers.union(labels)
+        new_labels = _compact_blocks(
+            merged.groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .select_columns(["label", "node"])
+        )
+        s = new_labels.aggregate(Sum("label", alias_name="s"))["s"]
+        labels = new_labels
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+    out = _rename(labels, {"node": "doc_id", "label": "cluster_id"}, ["node", "label"])
+    return out.select_columns(["doc_id", "cluster_id"])
+
+
+def minhash_dedup(
+    ds: Dataset, id_col="doc_id", text_col="text", k=5, threshold=0.8
+) -> Dataset:
+    """Full near-dup pipeline → (doc_id, cluster_id) Dataset.
+
+    Scale posture: every stage is distributed — LSH banding prunes to
+    candidate pairs (no all-pairs), shingle sets join onto pairs by
+    hash partition (text never broadcast, never driver-collected), and
+    connected components run as min-label propagation groupbys (no
+    driver union-find). The only driver-side data is per-iteration
+    label checksums.
+    """
+    cands = distinct_pairs(
+        minhash_candidates(ds, id_col=id_col, text_col=text_col, k=k)
+    )
+    verified = verify_pairs_distributed(
+        cands, ds, id_col=id_col, text_col=text_col, k=k, threshold=threshold
+    )
+    return cluster_propagate(verified)
 
 
 # ---------------------------------------------------------------------------
@@ -332,50 +545,109 @@ def simhash64(text: str) -> int:
     return int(np.packbits(out_bits, bitorder="little").view(np.uint64)[0])
 
 
-def add_simhash(t: pa.Table, text_col: str = "text") -> pa.Table:
-    hs = [simhash64(x) for x in t[text_col].to_pylist()]
-    tbl = t.append_column("simhash", pa.array(hs, pa.uint64()))
-    # 8 bands × 8 bits: two hashes within hamming ≤ 7 are GUARANTEED to
-    # share at least one band (pigeonhole) — candidate recall, not luck
-    for band in range(8):
-        vals = [(h >> (band * 8)) & 0xFF for h in hs]
-        tbl = tbl.append_column(f"sim_band{band}", pa.array(vals, pa.int32()))
-    return tbl
+def simhash_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized ``simhash64`` over a batch: unique tokens hashed once
+    (FNV cache shared across the batch), per-doc bit accumulation as one
+    numpy weighted sum. Identical values to the scalar path."""
+    cache: dict[str, int] = {}
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, text in enumerate(texts):
+        toks = text.lower().split()
+        if not toks:
+            continue
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        hs = np.empty(len(uniq), dtype=np.uint64)
+        for j, tk in enumerate(uniq):
+            h = cache.get(tk)
+            if h is None:
+                h = hash64_token(tk)
+                cache[tk] = h
+            hs[j] = h
+        bits = np.unpackbits(
+            hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int64)
+        acc = (counts[:, None] * (2 * bits - 1)).sum(axis=0)
+        out[i] = np.packbits((acc > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+    return out
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (bit-table over the byte view)."""
+    return (
+        np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1).astype(np.int64)
+    )
 
 
 def simhash_near_dup(ds: Dataset, id_col="doc_id", text_col="text", max_hamming=3) -> Dataset:
     """Near-dup pairs by simhash: candidates share ≥1 of 8 8-bit bands
-    (guaranteed for hamming ≤ 7), verified by popcount."""
-    with_hash = ds.map_batches(
-        lambda t: add_simhash(t, text_col), batch_format="pyarrow"
-    ).select_columns([id_col, "simhash"] + [f"sim_band{b}" for b in range(8)])
+    (pigeonhole-guaranteed for hamming ≤ 7), verified by popcount.
+
+    ONE shuffle: the 8 bands explode into a single (band_key, doc_id,
+    simhash) table — band_key = band_id*256 + band_byte — grouped once,
+    instead of 8 independent groupby shuffles unioned. Popcount is a
+    vectorized unpackbits sum; cross-band pair dedup is per-block Arrow
+    group_by + one native grouped Min (no per-pair Python, no
+    map_groups tail).
+    """
+
+    def hash_and_explode(t: pa.Table) -> pa.Table:
+        hs = simhash_batch(t[text_col].to_pylist())
+        n = len(hs)
+        band_bytes = hs.view(np.uint8).reshape(n, 8).astype(np.int32)  # LE: byte b = band b
+        band_keys = (np.arange(8, dtype=np.int32)[None, :] * 256 + band_bytes).reshape(-1)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), 8))
+        return pa.table(
+            {
+                id_col: t[id_col].take(idx),
+                "simhash": pa.array(np.repeat(hs, 8), pa.uint64()),
+                "band_key": pa.array(band_keys, pa.int32()),
+            }
+        )
+
+    exploded = ds.map_batches(hash_and_explode, batch_format="pyarrow")
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(id_col).sort_values(id_col)
         ids = g[id_col].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
         left, right, dist = [], [], []
-        for i in range(len(ids)):
+        for i in range(len(ids) - 1):
             x = np.bitwise_xor(hs[i + 1 :], hs[i])
-            d = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.nonzero(d <= max_hamming)[0]:
-                left.append(ids[i])
-                right.append(ids[i + 1 + j])
-                dist.append(int(d[j]))
-        return pd.DataFrame({"left_id": left, "right_id": right, "hamming": dist})
-
-    parts = []
-    for band in range(8):
-        parts.append(
-            with_hash.groupby(f"sim_band{band}").map_groups(
-                pairs_in_bucket, batch_format="pandas"
+            d = _popcount64(x)
+            sel = np.nonzero(d <= max_hamming)[0]
+            if sel.size:
+                left.append(np.full(sel.size, ids[i]))
+                right.append(ids[i + 1 :][sel])
+                dist.append(d[sel])
+        if left:
+            return pd.DataFrame(
+                {
+                    "left_id": np.concatenate(left),
+                    "right_id": np.concatenate(right),
+                    "hamming": np.concatenate(dist).astype(np.int64),
+                }
             )
+        return pd.DataFrame(
+            {
+                "left_id": pd.Series([], dtype=ids.dtype if len(ids) else np.int64),
+                "right_id": pd.Series([], dtype=ids.dtype if len(ids) else np.int64),
+                "hamming": pd.Series([], dtype=np.int64),
+            }
         )
-    allpairs = parts[0]
-    for p in parts[1:]:
-        allpairs = allpairs.union(p)
-    return allpairs.groupby(["left_id", "right_id"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+
+    allpairs = exploded.groupby("band_key").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["left_id", "right_id"]).aggregate([("hamming", "min")])
+        return g.rename_columns(
+            ["hamming" if c == "hamming_min" else c for c in g.column_names]
+        )
+
+    pre = allpairs.map_batches(local_dedup, batch_format="pyarrow")
+    return pre.groupby(["left_id", "right_id"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )
 
 

@@ -182,10 +182,18 @@ class Fetcher:
             if not self._robots_allowed(cur_host, s.scheme or "http", s.path or "/"):
                 return Response(), chain, "blocked by robots.txt"
             req_headers = {}
-            jar = self.cookie_jar.get(cur_host)
+            # publicsuffix domain matching (crawlers.go:96-111 jar
+            # semantics): a cookie stored for forum.example applies to
+            # www.forum.example; more specific domains override. Jar
+            # seeded once from broadcast config.
+            from ..functions.publicsuffix import cookie_domains
+
+            jar = {}
+            for d in reversed(cookie_domains(cur_host)):
+                j = self.cookie_jar.get(d)
+                if j:
+                    jar.update(j)
             if jar:
-                # jar seeded once from broadcast config (reference parity:
-                # cookies load on first use, crawlers.go:96-111)
                 req_headers["Cookie"] = "; ".join(f"{k}={v}" for k, v in jar.items())
             self._wait_turn(cur_host)
             self._debug_dump("Request Header", req_headers)

@@ -383,7 +383,18 @@ class ParsePages:
                 for m in file_crawler_manifest(url, page_num):
                     man_rows.append((doc_id, seed_id, page_num, url, m))
                 continue
-            text = body.decode(enc or "utf-8", errors="replace")
+            from ..functions.charsets import decode_body
+
+            text, enc_err = decode_body(body, enc or "utf-8")
+            if enc_err:
+                # BodyUTF8 parity (encoding.go:10-16): an unsupported
+                # charset is an error, never a silent utf-8 mangle
+                if self.strict_errors:
+                    raise RuntimeError(f"page decode failed: {url}: {enc_err}")
+                man_rows.append(
+                    (doc_id, seed_id, page_num, url, ManifestRow("", status="error", error=enc_err))
+                )
+                continue
             root = parse_html(text)
             spans = extract_spans(url, root)
             doc_rows.append((doc_id, seed_id, page_num, url))

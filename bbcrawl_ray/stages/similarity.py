@@ -3,11 +3,11 @@
 - ``knn_brute``: exact cosine top-k — per-batch numpy matmul against a
   BROADCAST query matrix (ray.put once; each task reads the same plasma
   object), local top-k per block, tiny global reduce. The baseline.
-- ``knn_ivf``: the scale path — coarse k-means centroids (sampled,
-  driver-side numpy), vectors pre-assigned to cells in one pass
-  (``groupby(cell)`` layout), queries probe only the nearest ``n_probe``
-  cells, so each query touches ~n_probe/C of the corpus instead of all
-  of it.
+- ``knn_ivf``: the scale path — coarse k-means centroids trained on a
+  HASH-sampled subset, the corpus written ONCE hive-partitioned on
+  ``cell=N/`` (``build_ivf_index``), and probes that READ only the
+  ``n_probe`` nearest cell directories (``knn_ivf_probe``) — IO, not
+  just compute, scales with n_probe/n_cells.
 """
 
 from __future__ import annotations
@@ -97,6 +97,106 @@ def kmeans_centroids(sample: np.ndarray, n_cells: int, iters: int = 8) -> np.nda
     return C
 
 
+def hash_sample_vectors(
+    ds: Dataset, id_col: str, vec_col: str, sample_rows: int
+) -> np.ndarray:
+    """Deterministic hash sample of ~``sample_rows`` vectors.
+
+    A ``limit(N)`` sample is the FIRST rows — correlated with insert
+    order, so centroids trained on it skew toward one corner of the
+    corpus. Knuth-multiplicative hashing of the id column gives an
+    unbiased spread in one streamed pass."""
+    n = ds.count()
+    rate = min(1.0, sample_rows / max(1, n))
+    thresh = np.uint64(int(rate * (1 << 24)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)  # top 24 bits
+        return t.select([vec_col]).filter(pa.array(h < thresh))
+
+    parts = list(
+        ds.select_columns([id_col, vec_col])
+        .map_batches(keep, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    if not parts:
+        return np.empty((0, 0), dtype=np.float64)
+    return _stack(pa.concat_tables(parts)[vec_col])
+
+
+def build_ivf_index(
+    ds: Dataset,
+    index_dir: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 2048,
+) -> str:
+    """ONE pass writes the corpus hive-partitioned on ``cell=N/`` plus the
+    centroid matrix — probing then READS only n_probe directories instead
+    of scanning every vector (the r1 design pruned compute, not IO; at
+    100 TB the IO is the cost)."""
+    import os
+
+    sample = hash_sample_vectors(ds, id_col, vec_col, sample_rows)
+    C = kmeans_centroids(sample, n_cells)
+    c_ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        X = _norm_rows(_stack(t[vec_col]))
+        cells = np.argmax(X @ Cm.T, axis=1).astype(np.int64)
+        return t.append_column("cell", pa.array(cells))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), C)
+    return index_dir
+
+
+def _probe_files(index_dir: str, cells: set[int]) -> tuple[list[str], int]:
+    """(files in the probed cell dirs, total files in the index)."""
+    import glob
+
+    all_files = sorted(glob.glob(f"{index_dir}/cell=*/*.parquet"))
+    probed = [
+        f
+        for f in all_files
+        if int(f.split("cell=")[1].split("/")[0]) in cells
+    ]
+    return probed, len(all_files)
+
+
+def knn_ivf_probe(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Query a built IVF index: read ONLY the n_probe nearest cell dirs."""
+    import os
+
+    import ray.data as rd
+
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    Q = _norm_rows(np.asarray(queries, dtype=np.float64))
+    probe_cells = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    wanted = set(int(c) for row in probe_cells for c in row)
+    files, _total = _probe_files(index_dir, wanted)
+    if not files:
+        return pd.DataFrame(columns=["query_id", "neighbor_id", "rank"]).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "rank": "int64"}
+        )
+    pruned = rd.read_parquet(files, columns=[id_col, vec_col])
+    return knn_brute(pruned, Q, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def knn_ivf(
     ds: Dataset,
     queries: np.ndarray,
@@ -107,30 +207,19 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_rows: int = 2048,
+    index_dir: str | None = None,
 ) -> pd.DataFrame:
-    """IVF approximate top-k: probe the ``n_probe`` nearest cells only."""
-    sample = _stack(
-        pa.concat_tables(
-            list(
-                ds.select_columns([vec_col])
-                .limit(sample_rows)
-                .iter_batches(batch_format="pyarrow")
-            )
-        )[vec_col]
+    """IVF approximate top-k: build (or reuse) the cell-partitioned index,
+    then probe the ``n_probe`` nearest cells only."""
+    import os
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivf_", dir="/tmp")
+    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        build_ivf_index(
+            ds, index_dir, n_cells, id_col=id_col, vec_col=vec_col, sample_rows=sample_rows
+        )
+    return knn_ivf_probe(
+        index_dir, queries, query_ids, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
     )
-    C = kmeans_centroids(sample, n_cells)
-    c_ref = ray.put(C)
-
-    Q = _norm_rows(np.asarray(queries, dtype=np.float64))
-    probe_cells = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (q, n_probe)
-    wanted = set(int(c) for row in probe_cells for c in row)
-
-    def assign_and_filter(t: pa.Table) -> pa.Table:
-        Cm = ray.get(c_ref)
-        X = _norm_rows(_stack(t[vec_col]))
-        cells = np.argmax(X @ Cm.T, axis=1)
-        mask = np.isin(cells, list(wanted))
-        return t.filter(pa.array(mask))
-
-    pruned = ds.map_batches(assign_and_filter, batch_format="pyarrow")
-    return knn_brute(pruned, Q, query_ids, k=k, id_col=id_col, vec_col=vec_col)

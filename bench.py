@@ -129,8 +129,11 @@ def main() -> None:
 
     crawl = crawl_workload(num_cpus)
     queries = run_queries(sf_dir)
+    # metric name matches the value: wall-seconds of the headline crawl
+    # (throughput lives in crawl.pages_per_s — r1 reported seconds under
+    # a throughput-named metric)
     result = {
-        "metric": "crawl_pages_per_s",
+        "metric": "crawl_wall_s",
         "value": crawl["wall_s"],
         "unit": "sec",
         "queries": queries,
@@ -185,6 +188,17 @@ def scaling() -> None:
                 "efficiency": round((tp_hi / tp_lo) / (hi / lo), 3),
             }
         )
+    # ALSO record one raw (8, 32) pair — the documented protocol's sizes —
+    # so the all-core-turbo justification for (4, 16) stays falsifiable
+    r8, r32 = run(8), run(32)
+    raw_8_32 = {
+        "cpus": [8, 32],
+        "pages_per_s": [r8["crawl"]["pages_per_s"], r32["crawl"]["pages_per_s"]],
+        "wall_s": [r8["crawl"]["wall_s"], r32["crawl"]["wall_s"]],
+        "efficiency": round(
+            (r32["crawl"]["pages_per_s"] / r8["crawl"]["pages_per_s"]) / 4.0, 3
+        ),
+    }
     # report the MEDIAN pair's numbers so throughput and efficiency in the
     # output are from the same measurement
     median_pair = sorted(pairs, key=lambda p: p["efficiency"])[len(pairs) // 2]
@@ -198,6 +212,7 @@ def scaling() -> None:
                 "wall_s": median_pair["wall_s"],
                 "scaling_efficiency": median_pair["efficiency"],
                 "pairs": pairs,
+                "raw_8_32": raw_8_32,
             }
         )
     )

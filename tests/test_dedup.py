@@ -45,7 +45,7 @@ def test_exact_dedup(ray_session):
 def test_minhash_dedup_clusters(ray_session):
     from bbcrawl_ray.stages.dedup import minhash_dedup
 
-    clusters = minhash_dedup(docs_ds(), threshold=0.6)
+    clusters = minhash_dedup(docs_ds(), threshold=0.6).to_pandas()
     by_doc = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
     assert by_doc[0] == by_doc[1] == by_doc[2] == by_doc[5] == 0
     assert 3 not in by_doc and 4 not in by_doc  # distinct docs uncluster
@@ -156,3 +156,136 @@ def test_decode_media_plumbing(ray_session):
     assert len(sampled) == df["n_frames"].sum()
     with pytest.raises(NotImplementedError):
         DecodeMedia(DecodeConfig(backend="real"))
+
+
+def test_simhash_batch_matches_scalar():
+    from bbcrawl_ray.stages.dedup import simhash64, simhash_batch
+
+    texts = [t for _, t in DOCS] + ["", "one", "repeated repeated repeated words words"]
+    batch = simhash_batch(texts)
+    scalar = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    assert (batch == scalar).all()
+
+
+def test_cluster_propagate_matches_union_find(ray_session):
+    import pandas as pd
+
+    from bbcrawl_ray.stages.dedup import cluster_propagate, connected_components
+
+    rng = np.random.default_rng(3)
+    # random graph over 80 nodes incl. chains (diameter > 1)
+    edges = set()
+    for _ in range(60):
+        a, b = sorted(rng.integers(0, 80, size=2).tolist())
+        if a != b:
+            edges.add((a, b))
+    for c in range(0, 30, 10):  # explicit chains c—c+1—...—c+5
+        for i in range(5):
+            edges.add((c + i, c + i + 1))
+    pairs = pd.DataFrame(sorted(edges), columns=["left_id", "right_id"])
+    expect = (
+        connected_components(pairs).sort_values("doc_id").reset_index(drop=True)
+    )
+    got = (
+        cluster_propagate(rd.from_pandas(pairs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "cluster_id": "int64"}),
+        expect.astype({"doc_id": "int64", "cluster_id": "int64"}),
+    )
+
+
+def test_minhash_dedup_high_dup_rate_parity(ray_session):
+    """200-doc corpus at 50% dup rate: distributed pipeline clusters match
+    brute-force Jaccard connected components exactly."""
+    import pandas as pd
+
+    from bbcrawl_ray.stages.dedup import (
+        char_shingles,
+        connected_components,
+        minhash_dedup,
+    )
+
+    rng = np.random.default_rng(17)
+    words = [f"tok{i}" for i in range(400)]
+    base_docs = [
+        " ".join(rng.choice(words, size=40).tolist()) for _ in range(100)
+    ]
+    docs = []
+    for i, b in enumerate(base_docs):
+        docs.append((2 * i, b))
+        toks = b.split()
+        # 50% of docs get a near-dup twin (1-2 token edits)
+        toks[rng.integers(0, len(toks))] = rng.choice(words)
+        docs.append((2 * i + 1, " ".join(toks)))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+    )
+    got = (
+        minhash_dedup(ds, threshold=0.6)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # brute-force oracle
+    sh = {d: char_shingles(t) for d, t in docs}
+    bl, br = [], []
+    items = sorted(sh)
+    for ii in range(len(items)):
+        for jj in range(ii + 1, len(items)):
+            a, b = sh[items[ii]], sh[items[jj]]
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            j = inter / max(1, a.size + b.size - inter)
+            if j >= 0.6:
+                bl.append(items[ii])
+                br.append(items[jj])
+    expect = (
+        connected_components(pd.DataFrame({"left_id": bl, "right_id": br}))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "cluster_id": "int64"}),
+        expect.astype({"doc_id": "int64", "cluster_id": "int64"}),
+    )
+
+
+def test_ivf_index_prunes_io(ray_session, tmp_path):
+    """Probing a built IVF index opens only the n_probe cell directories'
+    files, not the whole corpus."""
+    from bbcrawl_ray.stages.similarity import (
+        _norm_rows,
+        _probe_files,
+        build_ivf_index,
+        knn_ivf_probe,
+    )
+
+    rng = np.random.default_rng(23)
+    X = rng.standard_normal((300, 8)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float32())),
+            }
+        )
+    )
+    idx = build_ivf_index(ds, str(tmp_path / "ivf"), n_cells=8)
+    C = np.load(f"{idx}/centroids.npy")
+    assert C.shape[0] == 8
+    Q = _norm_rows(X[:2].astype(np.float64))
+    cells = set(np.argsort(-(Q @ C.T), axis=1)[:, :2].reshape(-1).tolist())
+    probed, total = _probe_files(idx, cells)
+    assert 0 < len(probed) < total  # strictly fewer files than the corpus
+    out = knn_ivf_probe(idx, X[:2], [0, 1], k=5, n_probe=2)
+    assert set(out.columns) == {"query_id", "neighbor_id", "rank"}
+    assert (out.groupby("query_id").size() <= 5).all()

@@ -203,10 +203,10 @@ def test_host_clock_global_spacing(ray_session):
     slots = sorted(ray.get([reserve_one.remote() for _ in range(8)]))
     diffs = [b - a for a, b in zip(slots, slots[1:])]
     assert all(d >= 0.1 - 1e-6 for d in diffs), diffs
-    # distinct hosts do not contend: both get immediate slots
-    now = time.time()
-    assert clock.reserve("a.example", 5.0) <= now + 0.5
-    assert clock.reserve("b.example", 5.0) <= now + 0.5
+    # distinct hosts do not contend: a first reservation is immediate
+    # (slot time is never in the future, regardless of RPC latency)
+    assert clock.reserve("a.example", 5.0) <= time.time()
+    assert clock.reserve("b.example", 5.0) <= time.time()
 
 
 def test_budget_frontier_multiblock_exact(ray_session):
@@ -307,3 +307,62 @@ def test_headers_multivalue_preserved(ray_session):
     pairs = set(hdrs.items()) if isinstance(hdrs, dict) else set(hdrs)
     assert ("Set-Cookie", "a=1") in pairs and ("Set-Cookie", "b=2") in pairs
     assert ("X-Plain", "whole-string") in pairs
+
+
+def test_cookie_domain_scoping(ray_session):
+    """A jar entry for forum.example applies to www.forum.example
+    (publicsuffix jar semantics, crawlers.go:96-111) but a cookie can
+    never scope to a public suffix."""
+    import ray
+
+    from bbcrawl_ray.functions.publicsuffix import cookie_domains
+    from bbcrawl_ray.sources.corpus import Response
+    from bbcrawl_ray.stages.fetch import FetchConfig, Fetcher
+
+    assert cookie_domains("www.forum.example.com") == [
+        "www.forum.example.com", "forum.example.com", "example.com",
+    ]
+    assert cookie_domains("shop.co.uk") == ["shop.co.uk"]
+
+    seen_headers = {}
+
+    class Spy:
+        def get(self, url, headers=None):
+            seen_headers[url] = dict(headers or {})
+            return Response(200, {"Content-Type": ["text/html"]}, b"<p>x</p>")
+
+    f = Fetcher(FetchConfig(transport="synthetic",
+                            cookies={"forum.example": {"session": "abc"},
+                                     "www.forum.example": {"extra": "1"}}))
+    f.transport = Spy()
+    batch = pa.table(
+        {
+            "url": ["http://www.forum.example/t", "http://other.example/t"],
+            "host": ["www.forum.example", "other.example"],
+            "seed_id": ["s", "s"],
+            "page_num": [1, 2],
+        }
+    )
+    f(batch)
+    ck = seen_headers["http://www.forum.example/t"].get("Cookie", "")
+    assert "session=abc" in ck and "extra=1" in ck
+    assert "Cookie" not in seen_headers["http://other.example/t"]
+
+
+def test_charset_whatwg_labels(ray_session):
+    """WHATWG labels (x-sjis, windows-874, latin1) decode; bogus labels
+    error instead of silently mangling (BodyUTF8 parity)."""
+    from bbcrawl_ray.functions.charsets import decode_body
+
+    s = "héllo"
+    txt, err = decode_body(s.encode("latin-1"), "latin1")
+    assert err == "" and txt == s  # latin1 → windows-1252 superset
+    txt, err = decode_body("こんにちは".encode("shift_jis"), "x-sjis")
+    assert err == "" and txt == "こんにちは"
+    txt, err = decode_body("ภาษาไทย".encode("cp874"), "windows-874")
+    assert err == "" and txt == "ภาษาไทย"
+    txt, err = decode_body(b"abc", "not-a-charset")
+    assert "unsupported charset" in err
+    # replacement encodings decode to error
+    _, err = decode_body(b"abc", "hz-gb-2312")
+    assert err
