@@ -187,7 +187,32 @@ def _shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates()
 
 
-def minhash_candidates(ds: Dataset, shards: int = 32, **stage_kw) -> Dataset:
+def band_rows_from_sigs(
+    t: pa.Table, id_col: str = "doc_id", bands: int = 16, rows_per_band: int = 4
+) -> pa.Table:
+    """(id, sig bytes) → exploded (doc_id, band_id, band_hash) rows —
+    banding needs only the signature, never the text."""
+    ids = t[id_col].to_pylist()
+    sigs = t["sig"].to_pylist()
+    out_id, out_band, out_hash = [], [], []
+    for i, sb in zip(ids, sigs):
+        sig = np.frombuffer(sb, dtype=np.uint64)
+        for did, b, bh in band_rows(i, sig, bands, rows_per_band):
+            out_id.append(did)
+            out_band.append(b)
+            out_hash.append(bh)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id),
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.uint64()),
+        }
+    )
+
+
+def minhash_candidates(
+    ds: Dataset, shards: int = 32, sigs: Dataset | None = None, **stage_kw
+) -> Dataset:
     """documents → distinct candidate pairs from banded minhash LSH.
 
     Two-level scheme: band rows shuffle on a COARSE shard key
@@ -195,8 +220,20 @@ def minhash_candidates(ds: Dataset, shards: int = 32, **stage_kw) -> Dataset:
     pandas groupby per shard instead of one Python call per bucket —
     buckets are almost all singletons, and per-group UDF overhead at
     ~1M buckets would dwarf the real work.
+
+    Pass ``sigs`` (from ``SignatureStage``) to band precomputed
+    signatures instead of re-shingling the corpus.
     """
-    bands_ds = ds.map_batches(MinHashStage(**stage_kw), batch_format="pyarrow")
+    if sigs is not None:
+        id_col = stage_kw.get("id_col", "doc_id")
+        bands = stage_kw.get("bands", 16)
+        rpb = stage_kw.get("rows_per_band", 4)
+        bands_ds = sigs.map_batches(
+            lambda t: band_rows_from_sigs(t, id_col, bands, rpb),
+            batch_format="pyarrow",
+        )
+    else:
+        bands_ds = ds.map_batches(MinHashStage(**stage_kw), batch_format="pyarrow")
 
     def add_shard(t: pa.Table) -> pa.Table:
         bh = t["band_hash"].to_numpy(zero_copy_only=False)
@@ -299,16 +336,22 @@ def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": out_doc, "cluster_id": out_cluster})
 
 
-def _join_partitions(requested: int | None = None) -> int:
-    """Join fan-out sized to the cluster: hash-shuffle aggregator actors
-    reserve resources per partition, so 16 partitions on a 4-CPU test
-    cluster starve the map stages (near-deadlock). Clamp to [2, cpus]."""
+def _join_partitions(requested: int | None = None, rows: int | None = None) -> int:
+    """Join fan-out sized to the cluster and the data: hash-shuffle
+    aggregator actors reserve resources per partition, so 16 partitions
+    on a 4-CPU test cluster starve the map stages (near-deadlock), and
+    16 partitions for a few-hundred-row label table is pure startup
+    overhead. Clamp to [2, min(16, cpus)], and to ~100k rows/partition
+    when the row count is known."""
     import ray
 
     if requested is not None:
         return requested
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(2, min(16, cpus))
+    cap = max(2, min(16, cpus))
+    if rows is not None:
+        return max(2, min(cap, -(-rows // 100_000)))
+    return cap
 
 
 def _compact_blocks(ds: Dataset) -> Dataset:
@@ -410,6 +453,44 @@ def _verify_joined(t: pa.Table, threshold: float) -> pa.Table:
     )
 
 
+class SignatureStage:
+    """(id, text) → (id, 64-perm minhash signature as 512 fixed bytes)."""
+
+    def __init__(self, id_col="doc_id", text_col="text", k=5):
+        self.id_col, self.text_col, self.k = id_col, text_col, k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sigs = [
+            minhash_signature(char_shingles(x, self.k)).tobytes()
+            for x in t[self.text_col].to_pylist()
+        ]
+        return pa.table(
+            {self.id_col: t[self.id_col], "sig": pa.array(sigs, pa.large_binary())}
+        )
+
+
+def _sig_estimate_filter(t: pa.Table, min_est: float) -> pa.Table:
+    """Keep pairs whose SIGNATURE-estimated jaccard (fraction of equal
+    minhash coordinates) clears ``min_est`` — fully vectorized."""
+    n = t.num_rows
+    if n == 0:
+        return t.select(["left_id", "right_id"])
+    ls = np.frombuffer(b"".join(t["left_sig"].to_pylist()), dtype=np.uint64).reshape(n, 64)
+    rs = np.frombuffer(b"".join(t["right_sig"].to_pylist()), dtype=np.uint64).reshape(n, 64)
+    est = (ls == rs).mean(axis=1)
+    idx = pa.array(np.nonzero(est >= min_est)[0].astype(np.int64))
+    return pa.table(
+        {"left_id": t["left_id"].take(idx), "right_id": t["right_id"].take(idx)}
+    )
+
+
+# signature prefilter slack: 64 perms → estimator σ = sqrt(j(1-j)/64) ≤
+# 0.0625, so 0.25 is a 4σ margin — a true pair slips past the prefilter
+# with p ≈ 3e-5 while random non-dups (est ≈ their true jaccard) are
+# rejected long before the expensive exact verify
+_SIG_MARGIN = 0.25
+
+
 def verify_pairs_distributed(
     pairs: Dataset,
     ds: Dataset,
@@ -418,27 +499,58 @@ def verify_pairs_distributed(
     k: int = 5,
     threshold: float = 0.8,
     num_partitions: int | None = None,
+    sigs: Dataset | None = None,
 ) -> Dataset:
     """Jaccard-verify candidate pairs WITHOUT driver-side text collection.
 
-    Texts are reduced to shingle sets once per doc, then hash-partitioned
-    ``Dataset.join``s attach left/right shingles to each pair. Everything
-    shuffles on doc_id; nothing candidate-proportional ever lands on the
-    driver, so a 30-50% dup-rate corpus (the web-scale norm) streams.
+    Two tiers, both hash-partitioned ``Dataset.join``s on doc_id:
+
+    1. SIGNATURE tier — fixed 512-byte minhash signatures join onto every
+       candidate pair; the estimated jaccard rejects the (dominant) mass
+       of false candidates. Payload is pairs × 1 KB, never pairs × text.
+    2. EXACT tier — full shingle sets join onto the few survivors only;
+       true jaccard ≥ τ decides. Candidate blowup (pairs ≫ docs, the LSH
+       norm) never multiplies the heavy payload.
+
+    Nothing candidate-proportional lands on the driver, so a 30-50%
+    dup-rate corpus (the web-scale norm) streams.
     """
-    shingled = ds.select_columns([id_col, text_col]).map_batches(
-        ShingleStage(id_col, text_col, k), batch_format="pyarrow"
+    docs = ds.select_columns([id_col, text_col])
+    pairs = _compact_blocks(pairs)
+    n_pairs = pairs.count()
+    nparts = _join_partitions(num_partitions, rows=n_pairs)
+
+    # tier 1: signature prefilter (reuse precomputed signatures if given)
+    if sigs is None:
+        sigs = docs.map_batches(SignatureStage(id_col, text_col, k), batch_format="pyarrow")
+    lsig = _rename(sigs, {id_col: "left_id", "sig": "left_sig"}, [id_col, "sig"])
+    rsig = _rename(sigs, {id_col: "right_id", "sig": "right_sig"}, [id_col, "sig"])
+    s1 = pairs.join(lsig, join_type="inner", num_partitions=nparts, on=("left_id",))
+    s2 = s1.join(rsig, join_type="inner", num_partitions=nparts, on=("right_id",))
+    min_est = max(0.0, threshold - _SIG_MARGIN)
+    survivors = _compact_blocks(
+        s2.map_batches(lambda t: _sig_estimate_filter(t, min_est), batch_format="pyarrow")
     )
+    n_surv = survivors.count()
+    if n_surv == 0:
+        return survivors.map_batches(
+            lambda t: pa.table(
+                {
+                    "left_id": t["left_id"],
+                    "right_id": t["right_id"],
+                    "jaccard": pa.array([0.0] * t.num_rows, pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    # tier 2: exact verify on survivors
+    nparts2 = _join_partitions(num_partitions, rows=n_surv)
+    shingled = docs.map_batches(ShingleStage(id_col, text_col, k), batch_format="pyarrow")
     left_sh = _rename(shingled, {id_col: "left_id", "shingles": "left_sh"}, [id_col, "shingles"])
     right_sh = _rename(shingled, {id_col: "right_id", "shingles": "right_sh"}, [id_col, "shingles"])
-    nparts = _join_partitions(num_partitions)
-    pairs = _compact_blocks(pairs)
-    j1 = pairs.join(
-        left_sh, join_type="inner", num_partitions=nparts, on=("left_id",)
-    )
-    j2 = j1.join(
-        right_sh, join_type="inner", num_partitions=nparts, on=("right_id",)
-    )
+    j1 = survivors.join(left_sh, join_type="inner", num_partitions=nparts2, on=("left_id",))
+    j2 = j1.join(right_sh, join_type="inner", num_partitions=nparts2, on=("right_id",))
     return j2.map_batches(
         lambda t: _verify_joined(t, threshold), batch_format="pyarrow"
     )
@@ -464,7 +576,8 @@ def cluster_propagate(pairs: Dataset, max_iters: int = 50) -> Dataset:
     swapped = _rename(pairs, {"left_id": "dst", "right_id": "src"}, ["left_id", "right_id"])
     fwd = _rename(pairs, {"left_id": "src", "right_id": "dst"}, ["left_id", "right_id"])
     edges = _compact_blocks(fwd.union(swapped))
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         import ray.data as rd
 
         return rd.from_arrow(
@@ -485,7 +598,7 @@ def cluster_propagate(pairs: Dataset, max_iters: int = 50) -> Dataset:
     )
     labels = _compact_blocks(labels)
 
-    nparts = _join_partitions()
+    nparts = _join_partitions(rows=n_edges)
     prev_sum = None
     for _ in range(max_iters):
         offers = edges.join(
@@ -519,11 +632,15 @@ def minhash_dedup(
     driver union-find). The only driver-side data is per-iteration
     label checksums.
     """
+    # signatures computed ONCE, shared by banding and the verify prefilter
+    sigs = ds.select_columns([id_col, text_col]).map_batches(
+        SignatureStage(id_col, text_col, k), batch_format="pyarrow"
+    ).materialize()
     cands = distinct_pairs(
-        minhash_candidates(ds, id_col=id_col, text_col=text_col, k=k)
+        minhash_candidates(ds, sigs=sigs, id_col=id_col, text_col=text_col, k=k)
     )
     verified = verify_pairs_distributed(
-        cands, ds, id_col=id_col, text_col=text_col, k=k, threshold=threshold
+        cands, ds, id_col=id_col, text_col=text_col, k=k, threshold=threshold, sigs=sigs
     )
     return cluster_propagate(verified)
 
