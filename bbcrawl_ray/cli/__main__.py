@@ -24,6 +24,8 @@ import sys
 
 def main(argv: list[str]) -> int:
     from . import flags as F
+    from ..functions.loglevels import configure as configure_logging
+    from ..functions.loglevels import parse_loglevel
     from .partition import PipelineSpec, bind_crawler, bind_pager, parse_flagset, partition
 
     try:
@@ -33,7 +35,7 @@ def main(argv: list[str]) -> int:
             {
                 "o": F.parse_fs_directory,
                 "cookie-file": str,
-                "loglevel": str,
+                "loglevel": parse_loglevel,
                 "transport": str,
                 "epochs": F.parse_int,
                 "budget": F.parse_int,
@@ -50,6 +52,10 @@ def main(argv: list[str]) -> int:
     except ValueError as e:
         print(f"bbcrawl_ray: {e}", file=sys.stderr)
         return 2
+
+    # real level filtering (logger.go:11-17): -loglevel error prints
+    # error-and-worse; debug opens everything in the bbcrawl_ray tree
+    configure_logging(spec.loglevel)
 
     import ray
 

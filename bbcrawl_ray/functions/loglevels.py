@@ -1,0 +1,57 @@
+"""Leveled logger parity (reference global/logger.go + jwdev42/logger).
+
+The reference logger has syslog-style levels (panic > alert > crit >
+error > warning > notice > info > debug), defaults to ``error``, prints
+to stdout with a ``" - "`` separator, and ``-loglevel`` sets "the least
+severe loglevel that will have its messages printed"
+(libcrawl/api.go:60-75). This maps those levels onto Python logging for
+the ``bbcrawl_ray`` logger tree — every module logger in the package is
+a child, so one setLevel filters them all.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+# syslog-ordered levels → Python numeric levels (custom ones registered)
+LEVELS = {
+    "panic": 70,
+    "alert": 60,
+    "crit": logging.CRITICAL,      # 50
+    "error": logging.ERROR,        # 40
+    "warning": logging.WARNING,    # 30
+    "notice": 25,
+    "info": logging.INFO,          # 20
+    "debug": logging.DEBUG,        # 10
+}
+
+for _name, _num in (("PANIC", 70), ("ALERT", 60), ("NOTICE", 25)):
+    if logging.getLevelName(_num) != _name:
+        logging.addLevelName(_num, _name)
+
+DEFAULT_LEVEL = "error"  # Default_Loglevel = logger.LevelError
+
+
+def parse_loglevel(value: str) -> str:
+    """Flag parser: validates the level name (reference errors on junk)."""
+    v = value.strip().lower()
+    if v not in LEVELS:
+        raise ValueError(
+            f"invalid loglevel {value!r} (one of {', '.join(LEVELS)})"
+        )
+    return v
+
+
+def configure(level: str = DEFAULT_LEVEL) -> logging.Logger:
+    """Bind the package logger: stdout handler, ' - ' separator, given
+    least-severe level. Idempotent."""
+    log = logging.getLogger("bbcrawl_ray")
+    if not any(getattr(h, "_bbcrawl", False) for h in log.handlers):
+        h = logging.StreamHandler(sys.stdout)
+        h.setFormatter(logging.Formatter("%(levelname)s - %(message)s"))
+        h._bbcrawl = True
+        log.addHandler(h)
+        log.propagate = False
+    log.setLevel(LEVELS[parse_loglevel(level)])
+    return log

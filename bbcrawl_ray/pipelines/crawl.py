@@ -77,6 +77,7 @@ class CrawlConfig:
     same_host_only: bool = True  # discovered links must stay on a seed host
     download_media: bool = False
     download_concurrency: tuple = (1, 4)
+    download_error_bodies: bool = False  # reference parity: write non-200 bodies too
     strict_errors: bool = False
     metrics_level: str = "full"  # full | lite (bench: skip per-status/per-seed aggregates)
     fetch_mode: str = "auto"  # auto | actors | tasks (see FetchParse docstring)
@@ -375,7 +376,12 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
                 [f"{parsed_dir}/record_kind=manifest"], schemas.PARSED
             ).map_batches(
                 Downloader,
-                fn_constructor_args=(fetch_cfg, f"{cfg.output_root}/files"),
+                fn_constructor_args=(
+                    fetch_cfg,
+                    f"{cfg.output_root}/files",
+                    False,
+                    cfg.download_error_bodies,
+                ),
                 batch_format="pyarrow",
                 concurrency=cfg.download_concurrency,
                 num_cpus=cfg.fetch_num_cpus,
@@ -418,6 +424,12 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
             "seen_sizes": seen_sizes,
             "wall_s": round(time.perf_counter() - t0, 3),
         }
+        import logging
+
+        logging.getLogger(__name__).info(
+            "epoch %d: %d pages parsed, %d selected, %.2fs",
+            epoch, docs_count, selected_count, metrics["wall_s"],
+        )
         ckpt.write_json(epoch, "metrics.json", metrics)
         ckpt.write_json(
             epoch,

@@ -41,10 +41,19 @@ class Downloader:
     cookies, redirect policy, per-host politeness, and robots all apply
     to media fetches too."""
 
-    def __init__(self, fetch_cfg: FetchConfig, output_root: str, allow_override: bool = False):
+    def __init__(
+        self,
+        fetch_cfg: FetchConfig,
+        output_root: str,
+        allow_override: bool = False,
+        error_bodies: bool = False,
+    ):
         self.fetcher = Fetcher(fetch_cfg)
         self.output_root = output_root
         self.allow_override = allow_override
+        # reference parity knob: downloader.go:277-317 streams ANY
+        # response body to disk, error pages included
+        self.error_bodies = error_bodies
         os.makedirs(output_root, exist_ok=True)
 
     def _target(self, out_dir: str, name: str) -> str:
@@ -83,13 +92,16 @@ class Downloader:
                 continue
             resp, _chain, err = self.fetcher.fetch_one(url, host_of(url))
             if err:
+                import logging
+
+                logging.getLogger(__name__).warning("download failed: %s: %s", url, err)
                 row["status"] = "error"
                 row["error"] = err
                 continue
-            if resp.status != 200:
-                # deliberate divergence: the reference writes ANY response
-                # body to disk (downloader.go:277-317), error pages included;
-                # the engine records an error row instead
+            if resp.status != 200 and not self.error_bodies:
+                # default: record an error row. error_bodies=True restores
+                # exact reference behavior — downloader.go:277-317 streams
+                # ANY response body to disk, error pages included
                 row["status"] = "error"
                 row["error"] = f"HTTP status {resp.status}"
                 continue
@@ -98,6 +110,9 @@ class Downloader:
             row["bytes"] = len(resp.body)
             row["out_name"] = name
             row["status"] = "ok"
+            if resp.status != 200:
+                # body-on-error parity path: file written, status noted
+                row["error"] = f"HTTP status {resp.status}"
             if from_header:
                 # AfterDownload rename hook (afterdownload.go:27-46)
                 try:

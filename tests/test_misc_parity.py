@@ -172,3 +172,66 @@ def test_custom_extractor_registry_e2e(ray_session, tmp_root):
     assert sorted(man["out_name"]) == ["first-1.img", "first-2.img", "first-3.img"]
     m = res.metrics[0]
     assert m["frontier_selected"] == 6 and m["dedup_hits"] == 3 and m["pages_parsed"] == 3
+
+
+def test_loglevel_parse_and_filtering():
+    import logging
+
+    import pytest
+
+    from bbcrawl_ray.functions.loglevels import LEVELS, configure, parse_loglevel
+
+    assert parse_loglevel("ERROR") == "error"
+    with pytest.raises(ValueError):
+        parse_loglevel("chatty")
+    # syslog severity ordering
+    assert LEVELS["panic"] > LEVELS["error"] > LEVELS["notice"] > LEVELS["debug"]
+
+    log = configure("error")
+    child = logging.getLogger("bbcrawl_ray.pipelines.crawl")
+    assert not child.isEnabledFor(logging.WARNING)  # warning < error: filtered
+    assert child.isEnabledFor(logging.ERROR)
+    configure("debug")
+    assert child.isEnabledFor(logging.DEBUG)
+    configure("error")  # restore default for other tests
+    assert log is logging.getLogger("bbcrawl_ray")
+
+
+def test_download_error_bodies_knob(ray_session, tmp_path):
+    """Default: non-200 download is an error row, no file. error_bodies=True
+    restores reference behavior (downloader.go:277-317): body written."""
+    import pyarrow as pa
+    import ray
+
+    from bbcrawl_ray.sources.corpus import Response
+    from bbcrawl_ray.stages.download import Downloader
+    from bbcrawl_ray.stages.fetch import FetchConfig
+
+    pages = {
+        "http://h.example/gone.jpg": Response(
+            404, {"Content-Type": ["text/html"]}, b"<h1>not found</h1>"
+        )
+    }
+    fcfg = FetchConfig(transport="mapping", pages_ref=ray.put(pages))
+    batch = pa.table(
+        {
+            "media_ref": ["http://h.example/gone.jpg"],
+            "out_name": ["gone.jpg"],
+            "out_dir": [""],
+            "status": ["pending"],
+            "error": [""],
+            "bytes": [0],
+            "post_id": [""],
+            "att_ordinal": [0],
+            "header_filename": [""],
+        }
+    )
+    d1 = Downloader(fcfg, str(tmp_path / "a"))
+    r1 = d1(batch).to_pylist()[0]
+    assert r1["status"] == "error" and "404" in r1["error"]
+    assert not (tmp_path / "a" / "gone.jpg").exists()
+
+    d2 = Downloader(fcfg, str(tmp_path / "b"), error_bodies=True)
+    r2 = d2(batch).to_pylist()[0]
+    assert r2["status"] == "ok" and "404" in r2["error"]
+    assert (tmp_path / "b" / "gone.jpg").read_bytes() == b"<h1>not found</h1>"
