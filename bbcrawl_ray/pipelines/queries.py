@@ -437,6 +437,54 @@ def q_events_sliding_2h(sf_dir: str) -> Dataset:
     return R.cast_columns(out, {"window_start": pa.timestamp("us")})
 
 
+def q_events_last_order(sf_dir: str) -> Dataset:
+    """AS-OF join (custom operator — Ray Data has none): each event joins
+    the latest order of its user at-or-before the event time, ties broken
+    by max orderkey."""
+    events = R.read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = R.read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+    out = R.asof_join(
+        events,
+        orders,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey"],
+        right_key="o_custkey",
+        value_casts={"o_orderkey": "int64"},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"o_orderkey": "last_orderkey"})[
+            ["event_id", "user_id", "last_orderkey"]
+        ]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+_QTY_BANDS = [("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 1e6)]
+
+
+def q_quantity_bands(sf_dir: str) -> Dataset:
+    """Range join (broadcast band table, vectorized searchsorted — never a
+    shuffle) + grouped count."""
+    ds = R.read_table(sf_dir, "lineitem", columns=["l_quantity"])
+    import numpy as np
+
+    edges = np.array([b[1] for b in _QTY_BANDS[1:]])
+    labels = np.array([b[0] for b in _QTY_BANDS])
+
+    def assign(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, q, side="right")
+        return pa.table({"band": pa.array(labels[idx], pa.string())})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return R.partial_group_aggregate(assigned, ["band"], sums={}, count_as="item_count")
+
+
 def q_sample_orders(sf_dir: str) -> Dataset:
     """Deterministic systematic sample: o_orderkey % 10 < 2."""
     from ..stages.sampling import key_mod_sample
@@ -482,6 +530,8 @@ QUERIES: dict[str, Callable[[str], Dataset]] = {
     "brand_price_stats": q_brand_price_stats,
     "urgent_or_big_orders": q_urgent_or_big_orders,
     "shipdate_range": q_shipdate_range,
+    "events_last_order": q_events_last_order,
+    "quantity_bands": q_quantity_bands,
     "sample_orders": q_sample_orders,
     "stratified_lineitem": q_stratified_lineitem,
     "order_lineitem_join": q_order_lineitem_join,
@@ -605,6 +655,26 @@ ORACLE_SQL: dict[str, str] = {
                MAX(l_shipdate) AS last_ship,
                COUNT(*) AS n_items
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "events_last_order": """
+        WITH ranked AS (
+            SELECT e.event_id, e.user_id, o.o_orderkey,
+                   row_number() OVER (PARTITION BY e.event_id
+                                      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+            FROM events e JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, user_id, o_orderkey AS last_orderkey
+        FROM ranked WHERE rn = 1
+    """,
+    "quantity_bands": """
+        WITH bands(band, lo, hi) AS (
+            VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0), ('high', 25.0, 1000000.0)
+        )
+        SELECT b.band, COUNT(*) AS item_count
+        FROM lineitem l JOIN bands b
+          ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        GROUP BY b.band
     """,
     "sample_orders": """
         SELECT o_orderkey, o_custkey, o_totalprice

@@ -108,6 +108,41 @@ def _query_vectors(sf_dir: str, n: int = 5):
     return np.stack(df["embedding"].to_numpy()), df["vec_id"].tolist()
 
 
+def q_embedding_pairs_exact(sf_dir: str) -> Dataset:
+    """Exact all-pairs cosine >= 0.3 — the brute-force BASELINE: the
+    normalized corpus matrix broadcasts once (ray.put), each batch does
+    one matmul against it and emits (left_id, right_id) with left<right.
+    O(n^2) compute by definition; the scale path is the LSH-bucketed
+    ``embedding_near_dup``. Oracle: DuckDB self-join with
+    list_cosine_similarity (margin to the 0.3 boundary is >= 5e-7 in
+    this corpus, ~1e8 x float64 noise)."""
+    import ray
+
+    ds = R.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = ds.to_pandas()  # corpus matrix: the broadcast side by design
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    ids = df["vec_id"].to_numpy()
+    ref = ray.put((Xn, ids))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        Xc, all_ids = ray.get(ref)
+        B = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        bids = t["vec_id"].to_numpy(zero_copy_only=False)
+        S = B @ Xc.T
+        hit = (S >= 0.3) & (all_ids[None, :] > bids[:, None])
+        li, ri = np.nonzero(hit)
+        return pa.table(
+            {
+                "left_id": pa.array(bids[li], pa.int64()),
+                "right_id": pa.array(all_ids[ri], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
 def q_embedding_knn(sf_dir: str) -> pd.DataFrame:
     """Exact brute-force cosine top-5 for query vectors vec_id<5
     (broadcast query matrix; DuckDB list_cosine_similarity oracle)."""
@@ -247,6 +282,7 @@ TEXT_QUERIES = {
     "minhash_clusters": q_minhash_clusters,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_pairs_exact": q_embedding_pairs_exact,
     "embedding_knn": q_embedding_knn,
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "media_features": q_media_features,
@@ -288,6 +324,12 @@ TEXT_ORACLE_SQL = {
                CAST(0 AS BIGINT) AS digits, CAST(0 AS BIGINT) AS adjust,
                '' AS startpage
         FROM region
+    """,
+    "embedding_pairs_exact": """
+        SELECT a.vec_id AS left_id, b.vec_id AS right_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.3
     """,
     "embedding_knn": """
         WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -245,6 +245,93 @@ def hash_join(
     )
 
 
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    right_key: str | None = None,
+    value_casts: dict[str, str] | None = None,
+) -> Dataset:
+    """Distributed AS-OF join (Ray Data has none): for every left row,
+    the right row with the greatest ``right_time`` <= ``left_time``
+    within the same ``key`` — ties on right_time break to the LAST of
+    ``value_cols`` order (sort is stable on (time, values)).
+
+    Canonical composition: tag both sides onto ONE aligned schema,
+    union, one shuffle on key, per-group time-sort + forward-fill of
+    the right values. Left rows with no prior right row drop (inner
+    semantics). Partitioning assumption: one key's rows fit in a
+    group — pre-bucket by (key, time-range) when a single key spans
+    epochs of history.
+    """
+    value_cols = list(value_cols)
+    right_key = right_key or key
+    lschema = left.schema()
+    left_cols = list(lschema.names)
+    out_schema = left_cols + value_cols
+    # the union must be schema-uniform: integer payload columns carry
+    # NaN on the right-tagged rows, so BOTH sides upcast to float64 and
+    # the merge casts back (left rows never hold NaN in their payload)
+    int_cols = [
+        c
+        for c, t in zip(lschema.names, lschema.types)
+        if pa.types.is_integer(t) and c != key
+    ]
+    ts_cols = [
+        c
+        for c, t in zip(lschema.names, lschema.types)
+        if pa.types.is_timestamp(t)
+    ]
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_t"] = df[left_time]
+        df["_is_left"] = True
+        for c in int_cols:
+            df[c] = df[c].astype("float64")
+        for c in value_cols:
+            df[c] = np.nan
+        return df[[*left_cols, *value_cols, "_t", "_is_left"]]
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({key: df[right_key], "_t": df[right_time], "_is_left": False})
+        n = len(df)
+        for c in left_cols:
+            if c == key:
+                continue
+            if c in ts_cols:
+                out[c] = pd.Series([pd.NaT] * n, dtype="datetime64[us]")
+            else:
+                out[c] = np.nan
+        for c in value_cols:
+            out[c] = df[c]
+        return out[[*left_cols, *value_cols, "_t", "_is_left"]]
+
+    lt = left.map_batches(tag_left, batch_format="pandas")
+    rt = right.map_batches(tag_right, batch_format="pandas")
+    sort_cols = ["_t", "_is_left", *value_cols]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # rights sort before lefts at equal time (False < True), so a
+        # right row AT the left's timestamp is visible to it
+        g = g.sort_values(sort_cols, kind="mergesort")
+        filled = g[value_cols].ffill()
+        out = g.loc[g["_is_left"], left_cols].copy()
+        for c in value_cols:
+            out[c] = filled.loc[g["_is_left"], c]
+        out = out.dropna(subset=value_cols)
+        for c in int_cols:
+            out[c] = out[c].astype("int64")
+        if value_casts:
+            out = out.astype(value_casts)
+        return out[out_schema]
+
+    return lt.union(rt).groupby(key).map_groups(merge, batch_format="pandas")
+
+
 def cast_columns(ds: Dataset, types: dict[str, pa.DataType]) -> Dataset:
     """Final-stage dtype normalization (e.g. Ray's aggregate shuffle can
     downgrade timestamp[us] to timestamp[s]; the driver's value-hash is
