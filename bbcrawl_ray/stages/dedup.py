@@ -584,22 +584,31 @@ def cluster_propagate(pairs: Dataset, max_iters: int = 50) -> Dataset:
             pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
         )
 
-    # edges are symmetric, so distinct src covers every node; column
-    # order everywhere is the sorted [label, node] so unions stay uniform
+    # round 0 is join-free: label(v) = min(v, min direct neighbor) via
+    # ONE native grouped Min over the symmetric edges — clique-shaped
+    # clusters (the LSH near-dup norm) are already final after this, so
+    # the join loop usually runs once just to confirm convergence.
+    # Column order everywhere is the sorted [label, node] so unions stay
+    # uniform.
     labels = (
-        _rename(edges, {"src": "node"}, ["src"])
-        .groupby("node")
-        .count()
-        .drop_columns(["count()"])
+        edges.groupby("src")
+        .aggregate(Min("dst", alias_name="label"))
         .map_batches(
-            lambda t: pa.table({"label": t["node"], "node": t["node"]}),
+            lambda t: pa.table(
+                {
+                    "label": pc.min_element_wise(t["label"], t["src"]),
+                    "node": t["src"],
+                }
+            ),
             batch_format="pyarrow",
         )
     )
     labels = _compact_blocks(labels)
 
     nparts = _join_partitions(rows=n_edges)
-    prev_sum = None
+    from ray.data.aggregate import Sum as _Sum
+
+    prev_sum = labels.aggregate(_Sum("label", alias_name="s"))["s"]
     for _ in range(max_iters):
         offers = edges.join(
             labels, join_type="inner", num_partitions=nparts, on=("src",), right_on=("node",)

@@ -119,6 +119,7 @@ def budget_frontier(
     frontier: Dataset,
     per_host_budget: int | None,
     skew_split_threshold: int = 10_000,
+    group_size_probe=None,
 ) -> Dataset:
     """Adds ``selected`` (fetch this epoch?) and ``host_shard`` columns.
 
@@ -164,6 +165,10 @@ def budget_frontier(
     def per_host(g: pd.DataFrame) -> pd.DataFrame:
         g = _sort_host_block(g.drop(columns=["cand"]))
         n = len(g)
+        if group_size_probe is not None:
+            # test hook: lets a test assert the skew-safety invariant
+            # (no host's grouped input exceeds budget × num_blocks)
+            group_size_probe.record.remote(n)
         k = min(budget, n)
         selected = np.zeros(n, dtype=bool)
         selected[:k] = True

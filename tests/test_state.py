@@ -366,3 +366,58 @@ def test_charset_whatwg_labels(ray_session):
     # replacement encodings decode to error
     _, err = decode_body(b"abc", "hz-gb-2312")
     assert err
+
+
+def test_budget_frontier_bounded_groups(ray_session):
+    """Skew safety: a host with 10x skew_split_threshold rows never
+    materializes as one giant group — the per-block prune bounds the
+    grouped stage's input to budget x num_blocks."""
+    import ray
+    import ray.data as rd
+
+    from bbcrawl_ray import schemas
+    from bbcrawl_ray.state.politeness import budget_frontier
+
+    @ray.remote(num_cpus=0)
+    class Probe:
+        def __init__(self):
+            self.max_n = 0
+
+        def record(self, n):
+            self.max_n = max(self.max_n, n)
+
+        def max_seen(self):
+            return self.max_n
+
+    threshold = 50
+    n = 10 * threshold  # one hot host, 500 rows
+    n_blocks = 10
+    budget = 30
+    rows = pa.table(
+        {
+            "url": pa.array([f"http://hot.example/p{i:05d}" for i in range(n)]),
+            "canon_url": pa.array([f"http://hot.example/p{i:05d}" for i in range(n)]),
+            "host": pa.array(["hot.example"] * n),
+            "page_num": pa.array(list(range(n)), pa.int64()),
+            "priority": pa.array([0] * n, pa.int64()),
+            "depth": pa.array([0] * n, pa.int32()),
+            "seed_id": pa.array(["s"] * n),
+            "url_hash": pa.array(list(range(n)), pa.uint64()),
+            "discovered_from": pa.array([""] * n),
+            "epoch": pa.array([0] * n, pa.int32()),
+        },
+        schema=schemas.FRONTIER,
+    )
+    probe = Probe.remote()
+    frontier = rd.from_arrow(rows).repartition(n_blocks)
+    out = budget_frontier(
+        frontier, per_host_budget=budget, skew_split_threshold=threshold,
+        group_size_probe=probe,
+    ).to_pandas()
+    assert len(out) == n
+    assert out.selected.sum() == budget
+    # winners are the global best (priority ties -> page_num asc)
+    assert sorted(out[out.selected].page_num) == list(range(budget))
+    max_group = ray.get(probe.max_seen.remote())
+    assert max_group <= budget * n_blocks  # bounded, not the whole host
+    assert max_group < n  # strictly smaller than the hot host's rows
