@@ -114,6 +114,51 @@ def decode_media(ds: Dataset, cfg: DecodeConfig | None = None, concurrency=(1, 4
     )
 
 
+class ResizeMedia:
+    """Actor-pool resize stage: MEDIA batch → MEDIA + resized dims.
+
+    Fake backend computes the scaled geometry (longest side →
+    ``resize_to``, aspect preserved, never upscaled) from the decoded
+    dims and passes the payload through; a real backend would re-encode
+    the pixels in ``__call__`` with the codec loaded in ``__init__``.
+    """
+
+    def __init__(self, cfg: DecodeConfig | None = None):
+        self.cfg = cfg or DecodeConfig()
+        if self.cfg.backend == "real":
+            raise NotImplementedError(
+                "no image codec ships in this container; install PIL and "
+                "implement ResizeMedia.backend='real'"
+            )
+        if self.cfg.backend != "fake":
+            raise ValueError(f"unknown decode backend {self.cfg.backend!r}")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        target = self.cfg.resize_to
+        ws, hs = [], []
+        for payload in t["payload"].to_pylist():
+            w, h, _n, _f = _fake_decode(payload or b"", 1)
+            longest = max(w, h)
+            scale = min(1.0, target / longest)
+            ws.append(max(1, round(w * scale)))
+            hs.append(max(1, round(h * scale)))
+        return (
+            t.append_column("resized_width", pa.array(ws, pa.int32()))
+            .append_column("resized_height", pa.array(hs, pa.int32()))
+        )
+
+
+def resize_media(ds: Dataset, cfg: DecodeConfig | None = None, concurrency=(1, 4)) -> Dataset:
+    return ds.map_batches(
+        ResizeMedia,
+        fn_constructor_args=(cfg or DecodeConfig(),),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+
 def frame_sample(ds: Dataset, every_nth: int = 2) -> Dataset:
     """Stub frame sampler: keeps metadata plumbing honest — emits one row
     per sampled frame index (a real impl would cut video payloads)."""

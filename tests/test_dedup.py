@@ -289,3 +289,29 @@ def test_ivf_index_prunes_io(ray_session, tmp_path):
     out = knn_ivf_probe(idx, X[:2], [0, 1], k=5, n_probe=2)
     assert set(out.columns) == {"query_id", "neighbor_id", "rank"}
     assert (out.groupby("query_id").size() <= 5).all()
+
+
+def test_resize_media_plumbing(ray_session):
+    import pytest as _pytest
+
+    from bbcrawl_ray.stages.multimodal import DecodeConfig, ResizeMedia, resize_media
+
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["d1", "d2"], pa.string()),
+                "media_ref": pa.array(["u1", "u2"], pa.string()),
+                "media_type": pa.array(["image/jpeg", "image/png"], pa.string()),
+                "payload": pa.array([b"\x01\x02", b"\x03\x04\x05"], pa.large_binary()),
+            }
+        )
+    )
+    out = resize_media(media, DecodeConfig(resize_to=48)).to_pandas()
+    assert {"resized_width", "resized_height"} <= set(out.columns)
+    assert (out[["resized_width", "resized_height"]].max(axis=1) <= 48).all()
+    assert (out[["resized_width", "resized_height"]] >= 1).all().all()
+    # deterministic
+    out2 = resize_media(media, DecodeConfig(resize_to=48)).to_pandas()
+    assert out.equals(out2)
+    with _pytest.raises(NotImplementedError):
+        ResizeMedia(DecodeConfig(backend="real"))
