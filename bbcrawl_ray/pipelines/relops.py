@@ -261,12 +261,14 @@ def asof_join(
     ``value_cols`` order (sort is stable on (time, values)).
 
     Canonical composition: tag both sides onto ONE aligned schema,
-    union, one shuffle on key, per-group time-sort + forward-fill of
-    the right values. Left rows with no prior right row drop (inner
-    semantics). Partitioning assumption: one key's rows fit in a
-    group — pre-bucket by (key, time-range) when a single key spans
-    epochs of history.
+    union, one shuffle on a coarse KEY-SHARD (so the grouped stage runs
+    ~64 vectorized pandas calls, not one Python call per key), per-shard
+    (key, time)-sort + per-key forward-fill of the right values. Left
+    rows with no prior right row drop (inner semantics). Partitioning
+    assumption: one shard's rows fit in a group — raise ``n_shards``
+    (or pre-bucket by time-range) when keys carry epochs of history.
     """
+    n_shards = 64
     value_cols = list(value_cols)
     right_key = right_key or key
     lschema = left.schema()
@@ -286,18 +288,25 @@ def asof_join(
         if pa.types.is_timestamp(t)
     ]
 
+    def _shard_of(s: pd.Series) -> pd.Series:
+        return (
+            pd.util.hash_pandas_object(s, index=False) % n_shards
+        ).astype("int64")
+
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_t"] = df[left_time]
         df["_is_left"] = True
+        df["_shard"] = _shard_of(df[key])
         for c in int_cols:
             df[c] = df[c].astype("float64")
         for c in value_cols:
             df[c] = np.nan
-        return df[[*left_cols, *value_cols, "_t", "_is_left"]]
+        return df[[*left_cols, *value_cols, "_t", "_is_left", "_shard"]]
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({key: df[right_key], "_t": df[right_time], "_is_left": False})
+        out["_shard"] = _shard_of(out[key])
         n = len(df)
         for c in left_cols:
             if c == key:
@@ -308,17 +317,18 @@ def asof_join(
                 out[c] = np.nan
         for c in value_cols:
             out[c] = df[c]
-        return out[[*left_cols, *value_cols, "_t", "_is_left"]]
+        return out[[*left_cols, *value_cols, "_t", "_is_left", "_shard"]]
 
     lt = left.map_batches(tag_left, batch_format="pandas")
     rt = right.map_batches(tag_right, batch_format="pandas")
-    sort_cols = ["_t", "_is_left", *value_cols]
+    sort_cols = [key, "_t", "_is_left", *value_cols]
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         # rights sort before lefts at equal time (False < True), so a
-        # right row AT the left's timestamp is visible to it
+        # right row AT the left's timestamp is visible to it; ffill is
+        # per-key via a vectorized pandas groupby, no per-key Python
         g = g.sort_values(sort_cols, kind="mergesort")
-        filled = g[value_cols].ffill()
+        filled = g.groupby(key, sort=False)[value_cols].ffill()
         out = g.loc[g["_is_left"], left_cols].copy()
         for c in value_cols:
             out[c] = filled.loc[g["_is_left"], c]
@@ -329,7 +339,7 @@ def asof_join(
             out = out.astype(value_casts)
         return out[out_schema]
 
-    return lt.union(rt).groupby(key).map_groups(merge, batch_format="pandas")
+    return lt.union(rt).groupby("_shard").map_groups(merge, batch_format="pandas")
 
 
 def cast_columns(ds: Dataset, types: dict[str, pa.DataType]) -> Dataset:

@@ -58,7 +58,7 @@ def crawl_workload(num_cpus: int, n_hosts: int = 16, pages_per_host: int = 2000,
             seen_shards=4,
             seen_mode="bloom",
             fetch_concurrency=(2, max(4, num_cpus)),
-            fetch_batch_size=256,
+            fetch_batch_size=512,  # measured best on this host (256 ≈ 3.3s, 512 ≈ 3.0s median)
             fetch_num_cpus=1,
             metrics_level="lite",
         )
@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_clusters",
     "embedding_knn",
+    # round-2 additions (new keys; the r1-comparable set above is unchanged)
+    "doc_fingerprints",
+    "simhash_pairs",
+    "events_last_order",
 ]
 
 
