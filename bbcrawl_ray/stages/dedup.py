@@ -392,17 +392,34 @@ def _rename(ds: Dataset, mapping: dict[str, str], keep: list[str]) -> Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def distinct_pairs(pairs: Dataset) -> Dataset:
-    """Distinct (left_id, right_id): per-block Arrow dedup + one native
-    grouped count (no per-group UDF)."""
+def distinct_pairs(pairs: Dataset, n_shards: int = 256) -> Dataset:
+    """Distinct (left_id, right_id): per-block Arrow dedup (C++), then ONE
+    single-int-key shard shuffle with a vectorized pandas drop_duplicates
+    per shard. (Ray's native multi-key grouped aggregate measured ~30 s
+    on an 822k-pair stream — super-linear; this path is linear.)"""
 
     def local(t: pa.Table) -> pa.Table:
-        return t.select(["left_id", "right_id"]).group_by(
+        t = t.select(["left_id", "right_id"]).group_by(
             ["left_id", "right_id"]
         ).aggregate([])
+        df = t.to_pandas()
+        shard = (
+            (
+                pd.util.hash_pandas_object(df["left_id"], index=False)
+                ^ pd.util.hash_pandas_object(df["right_id"], index=False)
+            )
+            % n_shards
+        ).astype("int32")
+        return pa.Table.from_pandas(
+            df.assign(_shard=shard), preserve_index=False
+        )
 
-    p = pairs.map_batches(local, batch_format="pyarrow")
-    return p.groupby(["left_id", "right_id"]).count().drop_columns(["count()"])
+    sharded = pairs.map_batches(local, batch_format="pyarrow")
+
+    def dedup_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["left_id", "right_id"]).drop(columns=["_shard"])
+
+    return sharded.groupby("_shard").map_groups(dedup_shard, batch_format="pandas")
 
 
 class ShingleStage:
