@@ -279,29 +279,39 @@ def q_supplier_lineitem_volume(sf_dir: str) -> Dataset:
 
 def q_events_sessions(sf_dir: str) -> Dataset:
     """Sessionization (streaming window): events partitioned by user,
-    sorted by ts within the group, 30-minute-gap session breaks —
-    Ray Data has no event-time windows, so this is the canonical
-    ``groupby(key).map_groups(sorted pandas window)`` pattern
-    (ordering assumption: per-user event order = ts order)."""
+    sorted by ts within the user, 30-minute-gap session breaks. Ray Data
+    has no event-time windows; the shuffle is ONE groupby on a coarse
+    user-shard and the per-shard window logic is a fully vectorized
+    pandas groupby (per-user diff/cumsum), never a Python call per user."""
     ds = R.read_table(sf_dir, "events", columns=["user_id", "ts"])
+    n_shards = 64
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        session_id = gap.cumsum() + 1  # first row: diff=NaT → False → still 1
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _shard=(
+                pd.util.hash_pandas_object(df["user_id"], index=False) % n_shards
+            ).astype("int64")
+        )
+
+    def sessionize_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        by_user = g.groupby("user_id", sort=False)
+        gap = by_user["ts"].diff() > pd.Timedelta(minutes=30)
+        g = g.assign(
+            session_id=gap.groupby(g["user_id"], sort=False).cumsum().astype("int64") + 1
+        )
         out = (
-            g.assign(session_id=session_id)
-            .groupby("session_id")
+            g.groupby(["user_id", "session_id"], sort=False)
             .agg(n_events=("ts", "size"), session_start=("ts", "min"))
             .reset_index()
         )
-        out["user_id"] = g["user_id"].iloc[0]
         out["session_id"] = out["session_id"].astype("int64")
         out["n_events"] = out["n_events"].astype("int64")
         out["session_start"] = out["session_start"].astype("datetime64[us]")
         return out[["user_id", "session_id", "n_events", "session_start"]]
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    sharded = ds.map_batches(add_shard, batch_format="pandas")
+    return sharded.groupby("_shard").map_groups(sessionize_shard, batch_format="pandas")
 
 
 def q_brand_price_stats(sf_dir: str) -> Dataset:
@@ -437,6 +447,43 @@ def q_events_sliding_2h(sf_dir: str) -> Dataset:
     return R.cast_columns(out, {"window_start": pa.timestamp("us")})
 
 
+def q_price_quantiles(sf_dir: str) -> Dataset:
+    """EXACT grouped quantiles, distributed: the shuffle moves one
+    (group, value, count) row per distinct cents value (value-count
+    pre-aggregation), then a tiny per-group cumsum rank-select — no
+    group ever materializes its raw rows. Quantile definition is the
+    element at rank ceil(q*n) (1-indexed), which is engine-independent
+    and float-hash-safe on cents."""
+    ds = R.read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_returnflag": t["l_returnflag"], "cents": R.cents(t["l_extendedprice"])}
+        )
+
+    counts = R.partial_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "cents"],
+        sums={},
+        count_as="cnt",
+    )
+
+    def rank_select(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        g = g.sort_values("cents", kind="mergesort")
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = g["cents"].to_numpy()
+        out = {"l_returnflag": g["l_returnflag"].iloc[0]}
+        for q, col in ((0.5, "p50_cents"), (0.9, "p90_cents")):
+            k = math.ceil(q * n)
+            out[col] = int(vals[(cum >= k).argmax()])
+        return pd.DataFrame([out])
+
+    return counts.groupby("l_returnflag").map_groups(rank_select, batch_format="pandas")
+
+
 def q_events_last_order(sf_dir: str) -> Dataset:
     """AS-OF join (custom operator — Ray Data has none): each event joins
     the latest order of its user at-or-before the event time, ties broken
@@ -530,6 +577,7 @@ QUERIES: dict[str, Callable[[str], Dataset]] = {
     "brand_price_stats": q_brand_price_stats,
     "urgent_or_big_orders": q_urgent_or_big_orders,
     "shipdate_range": q_shipdate_range,
+    "price_quantiles": q_price_quantiles,
     "events_last_order": q_events_last_order,
     "quantity_bands": q_quantity_bands,
     "sample_orders": q_sample_orders,
@@ -655,6 +703,23 @@ ORACLE_SQL: dict[str, str] = {
                MAX(l_shipdate) AS last_ship,
                COUNT(*) AS n_items
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "price_quantiles": """
+        WITH c AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem),
+        ranked AS (
+            SELECT l_returnflag, cents,
+                   row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM c)
+        SELECT l_returnflag,
+               CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                             THEN cents END) AS BIGINT) AS p50_cents,
+               CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                             THEN cents END) AS BIGINT) AS p90_cents
+        FROM ranked GROUP BY l_returnflag
     """,
     "events_last_order": """
         WITH ranked AS (
