@@ -54,7 +54,14 @@ def main(argv: list[str]) -> int:
         return 2
 
     # real level filtering (logger.go:11-17): -loglevel error prints
-    # error-and-worse; debug opens everything in the bbcrawl_ray tree
+    # error-and-worse; debug opens everything in the bbcrawl_ray tree.
+    # Exported BEFORE ray.init so worker processes inherit the level
+    # (stage code logs via loglevels.get_logger, which reads it).
+    import os
+
+    from ..functions.loglevels import ENV_VAR
+
+    os.environ[ENV_VAR] = spec.loglevel
     configure_logging(spec.loglevel)
 
     import ray

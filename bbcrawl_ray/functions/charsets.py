@@ -102,14 +102,17 @@ def resolve_label(label: str) -> str | None:
     codec = _W.get(lb)
     if codec is not None:
         return codec
-    # a label Python happens to know directly is still acceptable
+    # a TEXT codec Python happens to know directly is still acceptable —
+    # but only text: bytes-to-bytes codecs (hex, zlib, base64, rot13)
+    # would make decode() raise LookupError mid-crawl on an
+    # attacker-controlled charset label
     import codecs
 
     try:
-        codecs.lookup(lb)
-        return lb
+        info = codecs.lookup(lb)
     except LookupError:
         return None
+    return lb if getattr(info, "_is_text_encoding", True) else None
 
 
 def decode_body(body: bytes, label: str) -> tuple[str, str]:

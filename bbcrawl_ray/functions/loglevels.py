@@ -43,6 +43,27 @@ def parse_loglevel(value: str) -> str:
     return v
 
 
+ENV_VAR = "BBCRAWL_LOGLEVEL"
+_env_configured = False
+
+
+def get_logger(name: str) -> logging.Logger:
+    """Worker-safe logger accessor: the -loglevel setting travels to Ray
+    workers via ``BBCRAWL_LOGLEVEL`` (exported by the CLI before
+    ``ray.init`` starts the local cluster, so workers inherit it); the
+    first log call in any process binds the level."""
+    global _env_configured
+    if not _env_configured:
+        import os
+
+        try:
+            configure(os.environ.get(ENV_VAR, DEFAULT_LEVEL))
+        except ValueError:
+            configure(DEFAULT_LEVEL)
+        _env_configured = True
+    return logging.getLogger(name)
+
+
 def configure(level: str = DEFAULT_LEVEL) -> logging.Logger:
     """Bind the package logger: stdout handler, ' - ' separator, given
     least-severe level. Idempotent."""

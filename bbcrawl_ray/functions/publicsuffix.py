@@ -40,13 +40,18 @@ def is_public_suffix(domain: str) -> bool:
 def cookie_domains(host: str) -> list[str]:
     """Candidate cookie domains for ``host``, most specific first,
     stopping BEFORE any public suffix: ``www.forum.example.com`` →
-    [www.forum.example.com, forum.example.com, example.com]."""
+    [www.forum.example.com, forum.example.com, example.com].
+
+    The EXACT host is always a candidate — even when it is itself a
+    public-suffix label (``localhost``, dev/test single-label hosts):
+    the suffix rule exists to stop cookies scoping to PARENT domains,
+    not to strip a host's own cookies."""
     host = (host or "").lower().strip(".")
     if not host:
         return []
     labels = host.split(".")
-    out = []
-    for i in range(len(labels)):
+    out = [host]
+    for i in range(1, len(labels)):
         cand = ".".join(labels[i:])
         if is_public_suffix(cand):
             break

@@ -161,3 +161,22 @@ def hash64_batch(strings) -> "numpy.ndarray":  # noqa: F821
     return np.fromiter(
         (hash64(s) for s in strings), dtype=np.uint64, count=len(strings)
     )
+
+
+def hash64_batch_fast(strings) -> "numpy.ndarray":  # noqa: F821
+    """Vectorized 64-bit hashing for WITHIN-RUN use only.
+
+    polars' xxhash64 when available (~7× faster than the sha1 path) —
+    its values are NOT stable across polars versions, so this must
+    never feed anything persisted (frontier url_hash uses the stable
+    ``hash64_batch``). Right for in-run sketches (HLL) where only
+    per-run self-consistency matters.
+    """
+    import numpy as np
+
+    try:
+        import polars as pl
+
+        return pl.Series(strings).hash(seed=0).to_numpy().astype(np.uint64)
+    except Exception:
+        return hash64_batch(strings)

@@ -424,9 +424,9 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
             "seen_sizes": seen_sizes,
             "wall_s": round(time.perf_counter() - t0, 3),
         }
-        import logging
+        from ..functions.loglevels import get_logger
 
-        logging.getLogger(__name__).info(
+        get_logger(__name__).info(
             "epoch %d: %d pages parsed, %d selected, %.2fs",
             epoch, docs_count, selected_count, metrics["wall_s"],
         )

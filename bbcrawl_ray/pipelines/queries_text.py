@@ -152,10 +152,12 @@ def q_embedding_knn(sf_dir: str) -> pd.DataFrame:
 
 
 def q_embedding_knn_ivf(sf_dir: str) -> pd.DataFrame:
-    """IVF-pruned approximate top-5 (rows-only: approximate by design)."""
+    """IVF-pruned approximate top-5 (rows-only: approximate by design).
+    The cell-partitioned index is cached per sf_dir — built once, probed
+    on every subsequent call."""
     Q, qids = _query_vectors(sf_dir)
     ds = R.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return knn_ivf(ds, Q, qids, k=5, n_cells=8, n_probe=3)
+    return knn_ivf(ds, Q, qids, k=5, n_cells=8, n_probe=3, cache_key=sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -293,12 +293,23 @@ def asof_join(
             pd.util.hash_pandas_object(s, index=False) % n_shards
         ).astype("int64")
 
+    def _check_float_safe(s: pd.Series, col: str) -> None:
+        # integer payloads ride through float64 to carry NaN across the
+        # union; beyond 2^53 that SILENTLY corrupts — refuse loudly
+        if len(s) and s.abs().max() > 2**53:
+            raise ValueError(
+                f"asof_join: integer column {col!r} holds values above 2^53, "
+                "which cannot round-trip through the NaN-carrying float64 "
+                "union — cast it to string first or drop it from the join"
+            )
+
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_t"] = df[left_time]
         df["_is_left"] = True
         df["_shard"] = _shard_of(df[key])
         for c in int_cols:
+            _check_float_safe(df[c], c)
             df[c] = df[c].astype("float64")
         for c in value_cols:
             df[c] = np.nan
@@ -317,6 +328,8 @@ def asof_join(
                 out[c] = np.nan
         for c in value_cols:
             out[c] = df[c]
+            if pd.api.types.is_integer_dtype(out[c]):
+                _check_float_safe(out[c], c)
         return out[[*left_cols, *value_cols, "_t", "_is_left", "_shard"]]
 
     lt = left.map_batches(tag_left, batch_format="pandas")

@@ -159,7 +159,7 @@ def _shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
 
     Degenerate buckets (> _PAIR_CAP members) are truncated; the drop is
     LOGGED, never silent — truncated coverage must not read as full."""
-    import logging
+    from ..functions.loglevels import get_logger
 
     left, right = [], []
     dropped_docs = 0
@@ -176,7 +176,7 @@ def _shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
                 left.append(u[i])
                 right.append(u[j])
     if dropped_docs:
-        logging.getLogger(__name__).warning(
+        get_logger(__name__).warning(
             "minhash LSH: %d doc ids dropped from degenerate buckets "
             "(> %d members) in this shard — near-dup recall is partial "
             "for those docs",
@@ -249,53 +249,6 @@ def minhash_candidates(
     # so no distinct-shuffle is spent on it; the verify stage dedups
     # per batch to halve repeat work.
     return sharded.groupby("shard").map_groups(_shard_pairs, batch_format="pandas")
-
-
-class JaccardVerify:
-    """Broadcast-join verify: candidates + text lookup → jaccard ≥ τ.
-
-    ``texts_ref`` is a ray.put({doc_id: text}) broadcast — the verify
-    stage re-shingles only candidate docs (tiny vs corpus).
-    """
-
-    def __init__(self, texts_ref, k: int = 5, threshold: float = 0.8):
-        import ray
-
-        self.texts = ray.get(texts_ref)
-        self.k = k
-        self.threshold = threshold
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        lefts = t["left_id"].to_pylist()
-        rights = t["right_id"].to_pylist()
-        keep_l, keep_r, jac = [], [], []
-        cache: dict = {}
-
-        def sh(d):
-            if d not in cache:
-                cache[d] = char_shingles(self.texts.get(d, ""), self.k)
-            return cache[d]
-
-        for l, r in zip(lefts, rights):
-            a, b = sh(l), sh(r)
-            if len(a) == 0 and len(b) == 0:
-                continue
-            inter = np.intersect1d(a, b, assume_unique=True).size
-            union = a.size + b.size - inter
-            j = inter / max(1, union)
-            if j >= self.threshold:
-                keep_l.append(l)
-                keep_r.append(r)
-                jac.append(j)
-        # typed even when everything filtered: an untyped empty batch makes
-        # the streaming executor warn about schema-less RefBundles
-        return pa.table(
-            {
-                "left_id": pa.array(keep_l, t["left_id"].type),
-                "right_id": pa.array(keep_r, t["right_id"].type),
-                "jaccard": pa.array(jac, pa.float64()),
-            }
-        )
 
 
 def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
@@ -642,6 +595,14 @@ def cluster_propagate(pairs: Dataset, max_iters: int = 50) -> Dataset:
         if prev_sum is not None and s == prev_sum:
             break
         prev_sum = s
+    else:
+        from ..functions.loglevels import get_logger
+
+        get_logger(__name__).warning(
+            "cluster_propagate hit max_iters=%d without converging — a "
+            "component's diameter exceeds the round budget; labels are "
+            "PARTIAL (raise max_iters)", max_iters,
+        )
     out = _rename(labels, {"node": "doc_id", "label": "cluster_id"}, ["node", "label"])
     return out.select_columns(["doc_id", "cluster_id"])
 
@@ -761,11 +722,11 @@ def simhash_near_dup(ds: Dataset, id_col="doc_id", text_col="text", max_hamming=
         UDF overhead at thousands of buckets dwarfs the real work).
 
         Degenerate buckets (similar corpora can put a large corpus
-        fraction behind one band byte) run BLOCKED all-pairs xor +
-        LUT popcount — a (block × m) matrix op, never a per-row loop —
-        and are logged: O(m²) candidate work is inherent to simhash
-        banding, so oversized buckets must be visible, not silent."""
-        import logging
+        fraction behind one band byte) run a row-wise triangular xor
+        sweep with the LUT popcount and are LOGGED: O(m²) candidate
+        work is inherent to simhash banding, so oversized buckets must
+        be visible, not silent."""
+        from ..functions.loglevels import get_logger
 
         left, right, dist = [], [], []
         for bkey, b in g.groupby("band_key", sort=False):
@@ -774,7 +735,7 @@ def simhash_near_dup(ds: Dataset, id_col="doc_id", text_col="text", max_hamming=
             if m < 2:
                 continue
             if m > 10_000:
-                logging.getLogger(__name__).warning(
+                get_logger(__name__).warning(
                     "simhash band bucket %d holds %d docs — O(m²) verify; "
                     "consider wider bands for this corpus", bkey, m,
                 )

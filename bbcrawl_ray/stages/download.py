@@ -92,9 +92,9 @@ class Downloader:
                 continue
             resp, _chain, err = self.fetcher.fetch_one(url, host_of(url))
             if err:
-                import logging
+                from ..functions.loglevels import get_logger
 
-                logging.getLogger(__name__).warning("download failed: %s: %s", url, err)
+                get_logger(__name__).warning("download failed: %s: %s", url, err)
                 row["status"] = "error"
                 row["error"] = err
                 continue

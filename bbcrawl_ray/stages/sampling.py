@@ -139,13 +139,15 @@ class HllSketch:
 def approx_distinct(ds: Dataset, col: str, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT col): one serialized sketch per batch
     (map_batches), merged in a tiny driver reduce."""
-    from ..functions.urlfns import hash64_batch
+    # in-run-only hashing: the sketch is computed and consumed inside
+    # one run, so the fast (version-unstable) hash is safe here
+    from ..functions.urlfns import hash64_batch_fast
 
     def sketch_batch(t: pa.Table) -> pa.Table:
         sk = HllSketch(p)
         vals = pc.cast(t[col], pa.string()).to_pylist()
         if vals:
-            sk.add_hashes(hash64_batch(vals))
+            sk.add_hashes(hash64_batch_fast(vals))
         return pa.table({"sketch": pa.array([sk.to_bytes()], pa.large_binary())})
 
     merged = HllSketch(p)

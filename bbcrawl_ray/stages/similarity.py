@@ -154,6 +154,10 @@ def build_ivf_index(
         index_dir, partition_cols=["cell"]
     )
     np.save(os.path.join(index_dir, "centroids.npy"), C)
+    import json
+
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"n": int(ds.count()), "n_cells": int(n_cells)}, f)
     return index_dir
 
 
@@ -208,18 +212,51 @@ def knn_ivf(
     vec_col: str = "embedding",
     sample_rows: int = 2048,
     index_dir: str | None = None,
+    cache_key: str | None = None,
 ) -> pd.DataFrame:
     """IVF approximate top-k: build (or reuse) the cell-partitioned index,
-    then probe the ``n_probe`` nearest cells only."""
+    then probe the ``n_probe`` nearest cells only.
+
+    ``cache_key`` (e.g. the source path) derives a deterministic index
+    dir under /tmp so repeated queries REUSE the build — "build once,
+    probe many"; the stored meta (row count + cells) invalidates a stale
+    index. Without either dir the build is ephemeral and removed after
+    the probe (a leaked corpus-sized /tmp copy per call otherwise)."""
+    import hashlib as _hl
+    import json
     import os
+    import shutil
     import tempfile
 
+    ephemeral = False
     if index_dir is None:
-        index_dir = tempfile.mkdtemp(prefix="ivf_", dir="/tmp")
-    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
-        build_ivf_index(
-            ds, index_dir, n_cells, id_col=id_col, vec_col=vec_col, sample_rows=sample_rows
+        if cache_key is not None:
+            tag = _hl.sha1(f"{cache_key}|{n_cells}|{id_col}|{vec_col}".encode()).hexdigest()[:16]
+            index_dir = os.path.join("/tmp", "bbcrawl_ivf", tag)
+        else:
+            index_dir = tempfile.mkdtemp(prefix="ivf_", dir="/tmp")
+            ephemeral = True
+
+    def _index_valid() -> bool:
+        meta_path = os.path.join(index_dir, "meta.json")
+        if not os.path.exists(meta_path):
+            return False
+        try:
+            meta = json.load(open(meta_path))
+        except Exception:  # noqa: BLE001
+            return False
+        return meta.get("n_cells") == n_cells and meta.get("n") == ds.count()
+
+    try:
+        if not _index_valid():
+            if os.path.isdir(index_dir):
+                shutil.rmtree(index_dir, ignore_errors=True)
+            build_ivf_index(
+                ds, index_dir, n_cells, id_col=id_col, vec_col=vec_col, sample_rows=sample_rows
+            )
+        return knn_ivf_probe(
+            index_dir, queries, query_ids, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
         )
-    return knn_ivf_probe(
-        index_dir, queries, query_ids, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
-    )
+    finally:
+        if ephemeral:
+            shutil.rmtree(index_dir, ignore_errors=True)

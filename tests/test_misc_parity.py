@@ -235,3 +235,52 @@ def test_download_error_bodies_knob(ray_session, tmp_path):
     r2 = d2(batch).to_pylist()[0]
     assert r2["status"] == "ok" and "404" in r2["error"]
     assert (tmp_path / "b" / "gone.jpg").read_bytes() == b"<h1>not found</h1>"
+
+
+def test_review_fix_regressions(ray_session):
+    """Round-2 review fixes: bytes-codec charset labels error instead of
+    crashing; single-label hosts keep their own cookies; asof_join
+    refuses silently-corrupting >2^53 int payloads."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bbcrawl_ray.functions.charsets import decode_body
+    from bbcrawl_ray.functions.publicsuffix import cookie_domains
+    from bbcrawl_ray.pipelines.relops import asof_join
+
+    # hex/zlib/base64 are bytes codecs Python knows — must be an error
+    # row, not a LookupError escaping the parse stage
+    for label in ("hex", "zlib_codec", "base64", "rot13"):
+        txt, err = decode_body(b"<html>", label)
+        assert err, label
+    # the exact host is always a cookie candidate, even when it is a
+    # public-suffix label (localhost, dev hosts)
+    assert cookie_domains("localhost") == ["localhost"]
+    assert cookie_domains("test") == ["test"]
+    assert cookie_domains("example.com")[0] == "example.com"
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "t": pa.array([pd.Timestamp("2024-01-02")]),
+                "big_id": pa.array([2**62 + 1], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "rt": pa.array([pd.Timestamp("2024-01-01")]),
+                "v": pa.array([7], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="2\\^53"):
+        asof_join(
+            left, right, key="k", left_time="t", right_time="rt", value_cols=["v"]
+        ).to_pandas()
