@@ -447,6 +447,33 @@ def q_events_sliding_2h(sf_dir: str) -> Dataset:
     return R.cast_columns(out, {"window_start": pa.timestamp("us")})
 
 
+def q_events_value_delta(sf_dir: str) -> Dataset:
+    """Ordered window function (lag): per user, each event's value minus
+    the previous event's value. One coarse user-shard shuffle; the lag
+    itself is a vectorized per-user pandas groupby diff. First event per
+    user (no predecessor) is dropped (matching the SQL inner lag)."""
+    ds = R.read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_shards = 64
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _shard=(
+                pd.util.hash_pandas_object(df["user_id"], index=False) % n_shards
+            ).astype("int64")
+        )
+
+    def delta_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.assign(
+            value_delta=g.groupby("user_id", sort=False)["value"].diff()
+        )
+        out = g.dropna(subset=["value_delta"])
+        return out[["event_id", "user_id", "value_delta"]]
+
+    sharded = ds.map_batches(add_shard, batch_format="pandas")
+    return sharded.groupby("_shard").map_groups(delta_shard, batch_format="pandas")
+
+
 def q_price_quantiles(sf_dir: str) -> Dataset:
     """EXACT grouped quantiles, distributed: the shuffle moves one
     (group, value, count) row per distinct cents value (value-count
@@ -577,6 +604,7 @@ QUERIES: dict[str, Callable[[str], Dataset]] = {
     "brand_price_stats": q_brand_price_stats,
     "urgent_or_big_orders": q_urgent_or_big_orders,
     "shipdate_range": q_shipdate_range,
+    "events_value_delta": q_events_value_delta,
     "price_quantiles": q_price_quantiles,
     "events_last_order": q_events_last_order,
     "quantity_bands": q_quantity_bands,
@@ -703,6 +731,15 @@ ORACLE_SQL: dict[str, str] = {
                MAX(l_shipdate) AS last_ship,
                COUNT(*) AS n_items
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "events_value_delta": """
+        WITH d AS (
+            SELECT event_id, user_id, value,
+                   lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+            FROM events)
+        SELECT event_id, user_id, value - prev AS value_delta
+        FROM d WHERE prev IS NOT NULL
     """,
     "price_quantiles": """
         WITH c AS (

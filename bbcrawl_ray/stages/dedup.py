@@ -44,21 +44,30 @@ def exact_dedup(ds: Dataset, key: str = "text", id_col: str = "doc_id") -> Datas
     )
 
 
-def exact_dedup_keep_first(ds: Dataset, key: str = "text") -> Dataset:
+def exact_dedup_keep_first(ds: Dataset, key: str = "text", n_shards: int = 256) -> Dataset:
     """Keep the full first row (min doc_id) per distinct key.
 
-    Per-block pre-dedup first: the grouped stage then sees at most one
-    row per key per block (bounded groups — a key with millions of dups
-    never materializes as one giant pandas group)."""
+    Per-block pre-dedup (at most one row per key per block survives),
+    then ONE key-shard shuffle with a vectorized drop_duplicates per
+    shard — no giant per-key group and no Python call per key."""
 
     def local_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id", kind="mergesort").drop_duplicates(key)
+        g = g.sort_values("doc_id", kind="mergesort").drop_duplicates(key)
+        return g.assign(
+            _shard=(
+                pd.util.hash_pandas_object(g[key], index=False) % n_shards
+            ).astype("int64")
+        )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").head(1)
+    def first_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values("doc_id", kind="mergesort")
+            .drop_duplicates(key)
+            .drop(columns=["_shard"])
+        )
 
     pre = ds.map_batches(local_first, batch_format="pandas")
-    return pre.groupby(key).map_groups(first, batch_format="pandas")
+    return pre.groupby("_shard").map_groups(first_in_shard, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -315,3 +315,17 @@ def test_resize_media_plumbing(ray_session):
     assert out.equals(out2)
     with _pytest.raises(NotImplementedError):
         ResizeMedia(DecodeConfig(backend="real"))
+
+
+def test_exact_dedup_keep_first(ray_session):
+    from bbcrawl_ray.stages.dedup import exact_dedup_keep_first
+
+    out = (
+        exact_dedup_keep_first(docs_ds().repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 5 (exact dup of 0) collapses; the survivor is the MIN doc_id
+    assert out["doc_id"].tolist() == [0, 1, 2, 3, 4]
+    assert set(out.columns) >= {"doc_id", "text"}
