@@ -213,3 +213,42 @@ def test_downloads_and_skip_exists(ray_session, tmp_root):
         )
     )
     assert list(res2.manifest.to_pandas()["status"]) == ["skipped_exists"] * 3
+
+
+def test_politeness_enforced_across_actor_pool(ray_session, tmp_root):
+    """min_host_delay_s holds GLOBALLY even when one host's rows scatter
+    over several fetch actors: N pages of one host cannot finish faster
+    than (N-1) x delay (HostClock slot reservation, state/politeness.py)."""
+    import time
+
+    from bbcrawl_ray.cli.partition import CrawlerSpec
+    from bbcrawl_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    n_pages, delay = 6, 0.12
+    cfg = CrawlConfig(
+        crawler=CrawlerSpec(crawler="src", tags=["img"]),
+        seeds=[
+            {
+                "seed_id": "s1",
+                "pager": "query",
+                "blueprint_url": "http://one.example/t",
+                "start": 1,
+                "end": n_pages,
+            }
+        ],
+        output_root=f"{tmp_root}/polite",
+        min_host_delay_s=delay,
+        fetch_mode="actors",
+        fetch_concurrency=(2, 2),   # MULTIPLE actors share the one host
+        fetch_batch_size=2,         # rows split across actors
+        fetch_num_cpus=0.5,
+        metrics_level="lite",
+    )
+    t0 = time.monotonic()
+    res = run_crawl(cfg)
+    docs = res.documents.count()
+    wall = time.monotonic() - t0
+    assert docs == n_pages
+    # 6 fetches at >= 0.12s spacing need >= 5 * 0.12 = 0.6s of wall time;
+    # without the global clock two actors would halve it
+    assert wall >= (n_pages - 1) * delay, wall
