@@ -253,22 +253,19 @@ def q_crawl_documents(sf_dir: str) -> Dataset:
     docs = flagship(sf_dir)
 
     def flatten(t: pa.Table) -> pa.Table:
-        rows = t.to_pylist()
-        out = {"doc_id": [], "offset": [], "kind": [], "text": [], "media_ref": []}
-        for r in rows:
-            for s in r["spans"]:
-                out["doc_id"].append(r["doc_id"])
-                out["offset"].append(s["offset"])
-                out["kind"].append(s["kind"])
-                out["text"].append(s["text"])
-                out["media_ref"].append(s["media_ref"])
+        # zero-copy Arrow list explode: values + parent indices, no
+        # Python iteration over rows or spans
+        spans = t["spans"].combine_chunks()
+        values = spans.flatten()
+        parents = pc.list_parent_indices(spans)
+        doc_ids = pc.cast(t["doc_id"].combine_chunks().take(parents), pa.string())
         return pa.table(
             {
-                "doc_id": pa.array(out["doc_id"], pa.string()),
-                "offset": pa.array(out["offset"], pa.int32()),
-                "kind": pa.array(out["kind"], pa.string()),
-                "text": pa.array(out["text"], pa.string()),
-                "media_ref": pa.array(out["media_ref"], pa.string()),
+                "doc_id": doc_ids,
+                "offset": pc.cast(values.field("offset"), pa.int32()),
+                "kind": pc.cast(values.field("kind"), pa.string()),
+                "text": pc.cast(values.field("text"), pa.string()),
+                "media_ref": pc.cast(values.field("media_ref"), pa.string()),
             }
         )
 
