@@ -66,7 +66,12 @@ def get_logger(name: str) -> logging.Logger:
 
 def configure(level: str = DEFAULT_LEVEL) -> logging.Logger:
     """Bind the package logger: stdout handler, ' - ' separator, given
-    least-severe level. Idempotent."""
+    least-severe level. Idempotent. An EXPLICIT configure() wins over
+    the lazy env-based binding in get_logger (otherwise the first stage
+    log would clobber a programmatic configure('debug') back to the
+    default)."""
+    global _env_configured
+    _env_configured = True
     log = logging.getLogger("bbcrawl_ray")
     if not any(getattr(h, "_bbcrawl", False) for h in log.handlers):
         h = logging.StreamHandler(sys.stdout)

@@ -287,11 +287,7 @@ def q_events_sessions(sf_dir: str) -> Dataset:
     n_shards = 64
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(
-            _shard=(
-                pd.util.hash_pandas_object(df["user_id"], index=False) % n_shards
-            ).astype("int64")
-        )
+        return df.assign(_shard=R.shard_of(df["user_id"], n_shards))
 
     def sessionize_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
@@ -456,11 +452,7 @@ def q_events_value_delta(sf_dir: str) -> Dataset:
     n_shards = 64
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(
-            _shard=(
-                pd.util.hash_pandas_object(df["user_id"], index=False) % n_shards
-            ).astype("int64")
-        )
+        return df.assign(_shard=R.shard_of(df["user_id"], n_shards))
 
     def delta_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")

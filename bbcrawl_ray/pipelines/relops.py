@@ -245,6 +245,18 @@ def hash_join(
     )
 
 
+def shard_of(s: pd.Series, n_shards: int) -> pd.Series:
+    """Deterministic coarse shard id for grouped-UDF batching.
+
+    Numeric keys normalize to float64 first: pd.util.hash_pandas_object
+    is DTYPE-sensitive (int64 5 and float64 5.0 hash differently), so
+    two datasets carrying the same key at different widths would
+    otherwise route equal values to different shards."""
+    if pd.api.types.is_numeric_dtype(s) and not pd.api.types.is_float_dtype(s):
+        s = s.astype("float64")
+    return (pd.util.hash_pandas_object(s, index=False) % n_shards).astype("int64")
+
+
 def asof_join(
     left: Dataset,
     right: Dataset,
@@ -288,15 +300,23 @@ def asof_join(
         if pa.types.is_timestamp(t)
     ]
 
-    def _shard_of(s: pd.Series) -> pd.Series:
-        return (
-            pd.util.hash_pandas_object(s, index=False) % n_shards
-        ).astype("int64")
+    key_type = lschema.types[lschema.names.index(key)]
+
+    def _normalize_key(s: pd.Series) -> pd.Series:
+        # both sides must carry the key at the LEFT's width — the union
+        # column and the shard hash are dtype-sensitive
+        if pa.types.is_integer(key_type):
+            return s.astype("int64")
+        if pa.types.is_floating(key_type):
+            return s.astype("float64")
+        return s
 
     def _check_float_safe(s: pd.Series, col: str) -> None:
         # integer payloads ride through float64 to carry NaN across the
-        # union; beyond 2^53 that SILENTLY corrupts — refuse loudly
-        if len(s) and s.abs().max() > 2**53:
+        # union; beyond 2^53 that SILENTLY corrupts — refuse loudly.
+        # (raw min/max, not abs(): abs(int64 min) wraps negative and
+        # would slip past the guard)
+        if len(s) and (s.max() > 2**53 or s.min() < -(2**53)):
             raise ValueError(
                 f"asof_join: integer column {col!r} holds values above 2^53, "
                 "which cannot round-trip through the NaN-carrying float64 "
@@ -305,9 +325,10 @@ def asof_join(
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
+        df[key] = _normalize_key(df[key])
         df["_t"] = df[left_time]
         df["_is_left"] = True
-        df["_shard"] = _shard_of(df[key])
+        df["_shard"] = shard_of(df[key], n_shards)
         for c in int_cols:
             _check_float_safe(df[c], c)
             df[c] = df[c].astype("float64")
@@ -316,8 +337,10 @@ def asof_join(
         return df[[*left_cols, *value_cols, "_t", "_is_left", "_shard"]]
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({key: df[right_key], "_t": df[right_time], "_is_left": False})
-        out["_shard"] = _shard_of(out[key])
+        out = pd.DataFrame(
+            {key: _normalize_key(df[right_key]), "_t": df[right_time], "_is_left": False}
+        )
+        out["_shard"] = shard_of(out[key], n_shards)
         n = len(df)
         for c in left_cols:
             if c == key:

@@ -52,12 +52,10 @@ def exact_dedup_keep_first(ds: Dataset, key: str = "text", n_shards: int = 256) 
     shard — no giant per-key group and no Python call per key."""
 
     def local_first(g: pd.DataFrame) -> pd.DataFrame:
+        from ..pipelines.relops import shard_of
+
         g = g.sort_values("doc_id", kind="mergesort").drop_duplicates(key)
-        return g.assign(
-            _shard=(
-                pd.util.hash_pandas_object(g[key], index=False) % n_shards
-            ).astype("int64")
-        )
+        return g.assign(_shard=shard_of(g[key], n_shards))
 
     def first_in_shard(g: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -364,16 +362,15 @@ def distinct_pairs(pairs: Dataset, n_shards: int = 256) -> Dataset:
         t = t.select(["left_id", "right_id"]).group_by(
             ["left_id", "right_id"]
         ).aggregate([])
+        from ..pipelines.relops import shard_of
+
         df = t.to_pandas()
         shard = (
-            (
-                pd.util.hash_pandas_object(df["left_id"], index=False)
-                ^ pd.util.hash_pandas_object(df["right_id"], index=False)
-            )
-            % n_shards
-        ).astype("int32")
+            shard_of(df["left_id"], n_shards)
+            * 31 + shard_of(df["right_id"], n_shards)
+        ) % n_shards
         return pa.Table.from_pandas(
-            df.assign(_shard=shard), preserve_index=False
+            df.assign(_shard=shard.astype("int32")), preserve_index=False
         )
 
     sharded = pairs.map_batches(local, batch_format="pyarrow")
@@ -699,11 +696,12 @@ def simhash_near_dup(ds: Dataset, id_col="doc_id", text_col="text", max_hamming=
     (pigeonhole-guaranteed for hamming ≤ 7), verified by popcount.
 
     ONE shuffle: the 8 bands explode into a single (band_key, doc_id,
-    simhash) table — band_key = band_id*256 + band_byte — grouped once,
-    instead of 8 independent groupby shuffles unioned. Popcount is a
-    vectorized unpackbits sum; cross-band pair dedup is per-block Arrow
-    group_by + one native grouped Min (no per-pair Python, no
-    map_groups tail).
+    simhash) table — band_key = band_id*256 + band_byte — grouped once
+    on a coarse shard, instead of 8 independent groupby shuffles
+    unioned. Popcount is a vectorized 16-bit-LUT sum, and cross-band
+    pair dedup NEEDS NO STAGE AT ALL: each pair is emitted only by its
+    leftmost shared band (the xor's zero bytes are exactly the shared
+    bands), so the pair stream is globally unique by construction.
     """
 
     n_shards = 32  # coarse grouping: 32 group calls, not one per band_key

@@ -157,8 +157,30 @@ def build_ivf_index(
     import json
 
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump({"n": int(ds.count()), "n_cells": int(n_cells)}, f)
+        json.dump(
+            {
+                "n": int(ds.count()),
+                "n_cells": int(n_cells),
+                "probe": _content_probe(ds, id_col, vec_col),
+            },
+            f,
+        )
     return index_dir
+
+
+def _content_probe(ds: Dataset, id_col: str, vec_col: str) -> str:
+    """Cheap corpus fingerprint for cache invalidation: sha1 of the first
+    row's id + vector bytes. Heuristic — a regenerated corpus whose FIRST
+    row is bit-identical but whose tail changed would still hit the
+    cache; combined with the row count it catches the regenerated-table
+    case without scanning the corpus."""
+    import hashlib as _hl
+
+    row = ds.take(1)
+    if not row:
+        return "empty"
+    vec = np.asarray(row[0][vec_col], dtype=np.float64).tobytes()
+    return _hl.sha1(str(row[0][id_col]).encode() + vec).hexdigest()
 
 
 def _probe_files(index_dir: str, cells: set[int]) -> tuple[list[str], int]:
@@ -237,6 +259,8 @@ def knn_ivf(
             index_dir = tempfile.mkdtemp(prefix="ivf_", dir="/tmp")
             ephemeral = True
 
+    derived = ephemeral or cache_key is not None
+
     def _index_valid() -> bool:
         meta_path = os.path.join(index_dir, "meta.json")
         if not os.path.exists(meta_path):
@@ -245,11 +269,22 @@ def knn_ivf(
             meta = json.load(open(meta_path))
         except Exception:  # noqa: BLE001
             return False
-        return meta.get("n_cells") == n_cells and meta.get("n") == ds.count()
+        return (
+            meta.get("n_cells") == n_cells
+            and meta.get("n") == ds.count()
+            and meta.get("probe") == _content_probe(ds, id_col, vec_col)
+        )
 
     try:
         if not _index_valid():
-            if os.path.isdir(index_dir):
+            if os.path.isdir(index_dir) and os.listdir(index_dir):
+                if not derived:
+                    # NEVER destroy a caller-supplied directory that is
+                    # not a matching index — it may hold anything
+                    raise ValueError(
+                        f"index_dir {index_dir!r} exists but does not match "
+                        "this dataset/params; clear it or pass a fresh path"
+                    )
                 shutil.rmtree(index_dir, ignore_errors=True)
             build_ivf_index(
                 ds, index_dir, n_cells, id_col=id_col, vec_col=vec_col, sample_rows=sample_rows
