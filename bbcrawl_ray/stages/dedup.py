@@ -466,6 +466,45 @@ def _sig_estimate_filter(t: pa.Table, min_est: float) -> pa.Table:
 # rejected long before the expensive exact verify
 _SIG_MARGIN = 0.25
 
+# broadcast gates: ABSOLUTE byte bounds, never data-proportional. Below
+# them the small side ships once via ray.put instead of paying 2 join
+# operators' startup; above them the hash-partitioned join path runs.
+_SIG_BROADCAST_BYTES = 64 << 20      # sig table: 520 B/doc → ≤ ~128k docs
+_SURV_BROADCAST_PAIRS = 2_000        # survivor docs ≤ 4k → shingles ≤ ~100 MB
+
+
+def _sig_est_from_maps(t: pa.Table, sig_ref, min_est: float) -> pa.Table:
+    import ray
+
+    sig_map = ray.get(sig_ref)
+    n = t.num_rows
+    if n == 0:
+        return t.select(["left_id", "right_id"])
+    ls = np.frombuffer(
+        b"".join(sig_map[x] for x in t["left_id"].to_pylist()), dtype=np.uint64
+    ).reshape(n, 64)
+    rs = np.frombuffer(
+        b"".join(sig_map[x] for x in t["right_id"].to_pylist()), dtype=np.uint64
+    ).reshape(n, 64)
+    est = (ls == rs).mean(axis=1)
+    idx = pa.array(np.nonzero(est >= min_est)[0].astype(np.int64))
+    return pa.table(
+        {"left_id": t["left_id"].take(idx), "right_id": t["right_id"].take(idx)}
+    )
+
+
+def _empty_verified(survivors: Dataset) -> Dataset:
+    return survivors.map_batches(
+        lambda t: pa.table(
+            {
+                "left_id": t["left_id"],
+                "right_id": t["right_id"],
+                "jaccard": pa.array([0.0] * t.num_rows, pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
 
 def verify_pairs_distributed(
     pairs: Dataset,
@@ -476,52 +515,106 @@ def verify_pairs_distributed(
     threshold: float = 0.8,
     num_partitions: int | None = None,
     sigs: Dataset | None = None,
+    broadcast_gates: bool = True,
 ) -> Dataset:
     """Jaccard-verify candidate pairs WITHOUT driver-side text collection.
 
-    Two tiers, both hash-partitioned ``Dataset.join``s on doc_id:
+    Two tiers:
 
-    1. SIGNATURE tier — fixed 512-byte minhash signatures join onto every
+    1. SIGNATURE tier — fixed 512-byte minhash signatures meet every
        candidate pair; the estimated jaccard rejects the (dominant) mass
        of false candidates. Payload is pairs × 1 KB, never pairs × text.
-    2. EXACT tier — full shingle sets join onto the few survivors only;
-       true jaccard ≥ τ decides. Candidate blowup (pairs ≫ docs, the LSH
+    2. EXACT tier — full shingle sets meet the few survivors only; true
+       jaccard ≥ τ decides. Candidate blowup (pairs ≫ docs, the LSH
        norm) never multiplies the heavy payload.
 
-    Nothing candidate-proportional lands on the driver, so a 30-50%
-    dup-rate corpus (the web-scale norm) streams.
+    Each tier picks its transport by an ABSOLUTE size gate: when the
+    small side fits a fixed byte budget it broadcasts once via ray.put
+    (skipping two join operators' startup — the dominant cost at small
+    scale); otherwise hash-partitioned ``Dataset.join``s run. The gates
+    are constants, so nothing data-proportional can land on the driver
+    as the corpus or the dup rate grows — a 30-50% dup-rate corpus (the
+    web-scale norm) streams through the join path.
     """
+    import ray
+
     docs = ds.select_columns([id_col, text_col])
     pairs = _compact_blocks(pairs)
     n_pairs = pairs.count()
     nparts = _join_partitions(num_partitions, rows=n_pairs)
+    min_est = max(0.0, threshold - _SIG_MARGIN)
 
     # tier 1: signature prefilter (reuse precomputed signatures if given)
     if sigs is None:
         sigs = docs.map_batches(SignatureStage(id_col, text_col, k), batch_format="pyarrow")
-    lsig = _rename(sigs, {id_col: "left_id", "sig": "left_sig"}, [id_col, "sig"])
-    rsig = _rename(sigs, {id_col: "right_id", "sig": "right_sig"}, [id_col, "sig"])
-    s1 = pairs.join(lsig, join_type="inner", num_partitions=nparts, on=("left_id",))
-    s2 = s1.join(rsig, join_type="inner", num_partitions=nparts, on=("right_id",))
-    min_est = max(0.0, threshold - _SIG_MARGIN)
-    survivors = _compact_blocks(
-        s2.map_batches(lambda t: _sig_estimate_filter(t, min_est), batch_format="pyarrow")
-    )
+    n_docs = ds.count()
+    if broadcast_gates and n_docs * 520 <= _SIG_BROADCAST_BYTES:
+        sig_map: dict = {}
+        for b in sigs.iter_batches(batch_format="pyarrow"):
+            sig_map.update(zip(b[id_col].to_pylist(), b["sig"].to_pylist()))
+        sig_ref = ray.put(sig_map)
+        # plain materialize: nothing downstream of the broadcast branch
+        # joins, so schema-less empty blocks are harmless here
+        survivors = pairs.map_batches(
+            lambda t: _sig_est_from_maps(t, sig_ref, min_est),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        lsig = _rename(sigs, {id_col: "left_id", "sig": "left_sig"}, [id_col, "sig"])
+        rsig = _rename(sigs, {id_col: "right_id", "sig": "right_sig"}, [id_col, "sig"])
+        s1 = pairs.join(lsig, join_type="inner", num_partitions=nparts, on=("left_id",))
+        s2 = s1.join(rsig, join_type="inner", num_partitions=nparts, on=("right_id",))
+        survivors = _compact_blocks(
+            s2.map_batches(
+                lambda t: _sig_estimate_filter(t, min_est), batch_format="pyarrow"
+            )
+        )
     n_surv = survivors.count()
     if n_surv == 0:
-        return survivors.map_batches(
-            lambda t: pa.table(
+        return _empty_verified(survivors)
+
+    # tier 2: exact verify on survivors
+    if broadcast_gates and n_surv <= _SURV_BROADCAST_PAIRS:
+        surv_ids: set = set()
+        for b in survivors.iter_batches(batch_format="pyarrow"):
+            surv_ids.update(b["left_id"].to_pylist())
+            surv_ids.update(b["right_id"].to_pylist())
+        ids_ref = ray.put(pa.array(sorted(surv_ids)))
+
+        def keep(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t[id_col], value_set=ray.get(ids_ref)))
+
+        sh_map: dict = {}
+        for b in (
+            docs.map_batches(keep, batch_format="pyarrow")
+            .map_batches(ShingleStage(id_col, text_col, k), batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            sh_map.update(zip(b[id_col].to_pylist(), b["shingles"].to_pylist()))
+        sh_ref = ray.put(sh_map)
+
+        def verify_bc(t: pa.Table) -> pa.Table:
+            shm = ray.get(sh_ref)
+            joined = pa.table(
                 {
                     "left_id": t["left_id"],
                     "right_id": t["right_id"],
-                    "jaccard": pa.array([0.0] * t.num_rows, pa.float64()),
+                    "left_sh": pa.array(
+                        [shm.get(x, b"") for x in t["left_id"].to_pylist()],
+                        pa.large_binary(),
+                    ),
+                    "right_sh": pa.array(
+                        [shm.get(x, b"") for x in t["right_id"].to_pylist()],
+                        pa.large_binary(),
+                    ),
                 }
-            ),
-            batch_format="pyarrow",
-        )
+            )
+            return _verify_joined(joined, threshold)
 
-    # tier 2: exact verify on survivors
+        return survivors.map_batches(verify_bc, batch_format="pyarrow")
+
     nparts2 = _join_partitions(num_partitions, rows=n_surv)
+    survivors = _compact_blocks(survivors)  # joins below reject empty schema-less blocks
     shingled = docs.map_batches(ShingleStage(id_col, text_col, k), batch_format="pyarrow")
     left_sh = _rename(shingled, {id_col: "left_id", "shingles": "left_sh"}, [id_col, "shingles"])
     right_sh = _rename(shingled, {id_col: "right_id", "shingles": "right_sh"}, [id_col, "shingles"])

@@ -329,3 +329,32 @@ def test_exact_dedup_keep_first(ray_session):
     # doc 5 (exact dup of 0) collapses; the survivor is the MIN doc_id
     assert out["doc_id"].tolist() == [0, 1, 2, 3, 4]
     assert set(out.columns) >= {"doc_id", "text"}
+
+
+def test_verify_join_path_matches_broadcast_path(ray_session):
+    """The size-gated broadcast transport and the join transport must
+    produce identical verified pairs."""
+    import pandas as pd
+
+    from bbcrawl_ray.stages.dedup import (
+        distinct_pairs,
+        minhash_candidates,
+        verify_pairs_distributed,
+    )
+
+    ds = docs_ds()
+    cands = distinct_pairs(minhash_candidates(ds))
+    a = (
+        verify_pairs_distributed(cands, ds, threshold=0.6, broadcast_gates=True)
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        verify_pairs_distributed(cands, ds, threshold=0.6, broadcast_gates=False)
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
