@@ -625,33 +625,52 @@ def verify_pairs_distributed(
     )
 
 
-def cluster_propagate(pairs: Dataset, max_iters: int = 50) -> Dataset:
-    """(left_id, right_id) edges → (doc_id, cluster_id=min reachable id),
-    fully distributed: iterative min-label propagation.
+_CC_DRIVER_GATE = 200_000  # edges; ≤ ~3 MB of ids — an ABSOLUTE bound
 
-    Each round: every node offers its label to its neighbors
-    (edges ⋈ labels join), then labels = min(own, best offer) via one
-    native grouped Min. Labels only decrease, so the label SUM strictly
-    decreases until fixpoint — convergence needs no extra compare join.
-    LSH-derived near-dup clusters are near-cliques, so this typically
-    converges in 2-3 rounds (≤ log diameter in general).
+
+def cluster_propagate(
+    pairs: Dataset, max_iters: int = 50, driver_gate: int | None = _CC_DRIVER_GATE
+) -> Dataset:
+    """(left_id, right_id) edges → (doc_id, cluster_id=min reachable id).
+
+    Transport picked by an ABSOLUTE edge-count gate: at or below
+    ``driver_gate`` edges (a few MB of ids regardless of corpus size or
+    dup rate) the union-find runs on the driver in one pass; above it —
+    or with ``driver_gate=None`` — iterative min-label propagation runs
+    fully distributed: each round offers every node's label to its
+    neighbors (edges ⋈ labels join) and takes the grouped Min. Labels
+    only decrease, so the label SUM strictly decreases until fixpoint —
+    convergence needs no extra compare join. LSH-derived near-dup
+    clusters are near-cliques, so this typically converges in 2-3
+    rounds (≤ log diameter in general).
     """
     from ray.data.aggregate import Sum
 
     # dedup edges, then drop the schema-less empty blocks shuffle ops
     # emit (they break the joins below); materialized because the edge
     # set is consumed every iteration
-    pairs = _compact_blocks(distinct_pairs(pairs))
+    import ray.data as rd
+
+    pairs = distinct_pairs(pairs).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+        )
+    if driver_gate is not None and n_pairs <= driver_gate:
+        # bounded driver path: ≤ driver_gate edges pull in one pass
+        cols = {"left_id": [], "right_id": []}
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            cols["left_id"].extend(b["left_id"].to_pylist())
+            cols["right_id"].extend(b["right_id"].to_pylist())
+        out = connected_components(pd.DataFrame(cols))
+        return rd.from_pandas(out)
+
+    pairs = _compact_blocks(pairs)
     swapped = _rename(pairs, {"left_id": "dst", "right_id": "src"}, ["left_id", "right_id"])
     fwd = _rename(pairs, {"left_id": "src", "right_id": "dst"}, ["left_id", "right_id"])
     edges = _compact_blocks(fwd.union(swapped))
     n_edges = edges.count()
-    if n_edges == 0:
-        import ray.data as rd
-
-        return rd.from_arrow(
-            pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
-        )
 
     # round 0 is join-free: label(v) = min(v, min direct neighbor) via
     # ONE native grouped Min over the symmetric edges — clique-shaped

@@ -186,16 +186,19 @@ def test_cluster_propagate_matches_union_find(ray_session):
     expect = (
         connected_components(pairs).sort_values("doc_id").reset_index(drop=True)
     )
-    got = (
-        cluster_propagate(rd.from_pandas(pairs))
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    pd.testing.assert_frame_equal(
-        got.astype({"doc_id": "int64", "cluster_id": "int64"}),
-        expect.astype({"doc_id": "int64", "cluster_id": "int64"}),
-    )
+    # distributed label propagation (gate disabled) AND the gated driver
+    # path must both match union-find exactly
+    for gate in (None, 200_000):
+        got = (
+            cluster_propagate(rd.from_pandas(pairs), driver_gate=gate)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"doc_id": "int64", "cluster_id": "int64"}),
+            expect.astype({"doc_id": "int64", "cluster_id": "int64"}),
+        )
 
 
 def test_minhash_dedup_high_dup_rate_parity(ray_session):
