@@ -211,7 +211,7 @@ def q_read_seeds(sf_dir: str) -> Dataset:
             "end": (region["r_regionkey"] + 3).astype("int64"),
         }
     )
-    out_dir = "/tmp/bbcrawl_seeds_query"
+    out_dir = f"/tmp/bbcrawl_seeds_query_{os.getpid()}"  # pid-scoped: no cross-process race
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "seeds.parquet")
     seeds.to_parquet(path, index=False)

@@ -361,3 +361,41 @@ def test_verify_join_path_matches_broadcast_path(ray_session):
     )
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_ivf_cache_rebuilds_on_changed_corpus(ray_session, tmp_path):
+    """Same row count + same cache key but different vectors must NOT
+    serve the stale index (content probe in meta.json)."""
+    import os
+
+    from bbcrawl_ray.stages.similarity import knn_ivf
+
+    def make_ds(seed):
+        rng = np.random.default_rng(seed)
+        X = rng.standard_normal((120, 8)).astype(np.float32)
+        return X, rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(120), pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float32())),
+                }
+            )
+        )
+
+    key = str(tmp_path / "corpus")  # cache key, deterministic dir derives from it
+    X1, ds1 = make_ds(1)
+    r1 = knn_ivf(ds1, X1[:1], [0], k=3, n_cells=4, n_probe=4, cache_key=key)
+    X2, ds2 = make_ds(2)  # same size, different content
+    r2 = knn_ivf(ds2, X2[:1], [0], k=3, n_cells=4, n_probe=4, cache_key=key)
+    # n_probe=4 of 4 cells = exact: results must reflect EACH corpus
+    import numpy as np_
+
+    def brute(X):
+        Xn = X.astype(np_.float64)
+        Xn = Xn / np_.linalg.norm(Xn, axis=1, keepdims=True)
+        s = Xn[0] @ Xn.T
+        s[0] = -np_.inf
+        return list(np_.argsort(-s)[:3])
+
+    assert sorted(r1["neighbor_id"]) == sorted(brute(X1))
+    assert sorted(r2["neighbor_id"]) == sorted(brute(X2))
