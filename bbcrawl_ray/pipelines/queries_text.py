@@ -56,6 +56,35 @@ def q_doc_fingerprints(sf_dir: str) -> Dataset:
 # dedup
 
 
+def q_top_tokens(sf_dir: str) -> Dataset:
+    """Corpus heavy hitters: the 20 most frequent whitespace tokens.
+    Combiner-style: per-block token counts (one row per distinct token
+    per block enters the shuffle, never one per occurrence), native
+    grouped sum, then local-prune top-k. Ties break on the token so the
+    result is total-ordered and oracle-exact."""
+    ds = R.read_table(sf_dir, "documents", columns=["text"])
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(txt.split())
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = R.partial_group_aggregate(
+        ds.map_batches(local_counts, batch_format="pyarrow"),
+        ["token"],
+        sums={"n": "n"},
+    )
+    return R.topk(counts, ["n", "token"], [True, False], 20)
+
+
 def q_dedup_exact(sf_dir: str) -> Dataset:
     """Exact dedup on a 30-char content prefix (full texts are unique in
     the synthetic corpus; the prefix makes real groups)."""
@@ -277,6 +306,7 @@ TEXT_QUERIES = {
     "quality_counts": q_quality_counts,
     "lang_detect": q_lang_detect,
     "doc_fingerprints": q_doc_fingerprints,
+    "top_tokens": q_top_tokens,
     "dedup_exact": q_dedup_exact,
     "minhash_clusters": q_minhash_clusters,
     "simhash_pairs": q_simhash_pairs,
@@ -310,6 +340,17 @@ TEXT_ORACLE_SQL = {
                length(regexp_extract_all(lower(text), '{stop}')) AS n_stopwords
         FROM documents
     """.replace("{stop}", _STOP_SQL),
+    "top_tokens": r"""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+            FROM documents
+        )
+        SELECT token, COUNT(*) AS n
+        FROM toks WHERE token <> ''
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 20
+    """,
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*) AS dup_count
         FROM documents GROUP BY substr(text, 1, 30)
