@@ -251,6 +251,23 @@ def q_read_seeds(sf_dir: str) -> Dataset:
     return read_seeds(path).select_columns(cols)
 
 
+def q_approx_token_freq(sf_dir: str) -> pd.DataFrame:
+    """Count-Min frequency estimates next to exact counts for the
+    corpus's own top-5 tokens (rows-only: CMS over-counts by design;
+    the rel_err column shows by how much)."""
+    from ..stages.sampling import approx_token_counts
+
+    exact = q_top_tokens(sf_dir).to_pandas().sort_values(
+        ["n", "token"], ascending=[False, True]
+    ).head(5)
+    ds = R.read_table(sf_dir, "documents", columns=["text"])
+    est = approx_token_counts(ds, "text", exact["token"].tolist())
+    out = exact.rename(columns={"n": "exact_n"}).reset_index(drop=True)
+    out["cms_n"] = out["token"].map(est).astype("int64")
+    out["rel_err"] = (out["cms_n"] - out["exact_n"]) / out["exact_n"]
+    return out[["token", "exact_n", "cms_n", "rel_err"]]
+
+
 def q_approx_distinct(sf_dir: str) -> pd.DataFrame:
     """HLL approximate COUNT(DISTINCT o_custkey) next to the exact count
     (rows-only: the estimate is approximate by design; the row lets the
@@ -318,6 +335,7 @@ TEXT_QUERIES = {
     "crawl_documents": q_crawl_documents,
     "read_seeds": q_read_seeds,
     "approx_distinct": q_approx_distinct,
+    "approx_token_freq": q_approx_token_freq,
 }
 
 _BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

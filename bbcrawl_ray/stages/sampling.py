@@ -157,3 +157,92 @@ def approx_distinct(ds: Dataset, col: str, p: int = 12) -> float:
         for blob in b["sketch"].to_pylist():
             merged = merged.merge(HllSketch.from_bytes(p, blob))
     return merged.estimate()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable frequency estimation (heavy hitters at scale)
+
+
+class CountMinSketch:
+    """Classic Count-Min: d rows × w counters, point estimate = min over
+    rows. Mergeable by element-wise ADD, so one sketch per batch reduces
+    exactly like the HLL path. Estimates only ever OVER-count (by at
+    most εN with w = ⌈e/ε⌉, failure prob δ with d = ⌈ln 1/δ⌉)."""
+
+    def __init__(self, width: int = 4096, depth: int = 4, counts: np.ndarray | None = None):
+        self.w = width
+        self.d = depth
+        self.counts = (
+            counts if counts is not None else np.zeros((depth, width), dtype=np.int64)
+        )
+
+    def _indices(self, h: np.ndarray) -> np.ndarray:
+        """(d, n) counter indices via double hashing of 64-bit keys."""
+        h = np.asarray(h, dtype=np.uint64)
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        rows = np.arange(self.d, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + rows * h2[None, :]) % np.uint64(self.w)).astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray, weights: np.ndarray | None = None) -> None:
+        idx = self._indices(h)
+        wts = np.ones(len(h), dtype=np.int64) if weights is None else weights
+        for r in range(self.d):
+            np.add.at(self.counts[r], idx[r], wts)
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        idx = self._indices(h)
+        return np.min(
+            np.stack([self.counts[r][idx[r]] for r in range(self.d)]), axis=0
+        )
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert self.w == other.w and self.d == other.d
+        return CountMinSketch(self.w, self.d, self.counts + other.counts)
+
+    def to_bytes(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, width: int, depth: int, blob: bytes) -> "CountMinSketch":
+        return cls(
+            width, depth, np.frombuffer(blob, dtype=np.int64).reshape(depth, width).copy()
+        )
+
+
+def approx_token_counts(
+    ds: Dataset,
+    col: str,
+    probe_tokens: list[str],
+    width: int = 4096,
+    depth: int = 4,
+) -> dict[str, int]:
+    """Approximate occurrence counts for ``probe_tokens`` over the
+    whitespace tokens of ``col``: one CMS per batch (map_batches), merged
+    in a tiny driver reduce — the sketch (w×d int64) is the only thing
+    that moves, never the token stream."""
+    from ..functions.urlfns import hash64_batch_fast
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        sk = CountMinSketch(width, depth)
+        from collections import Counter
+
+        c: Counter = Counter()
+        for txt in t[col].to_pylist():
+            c.update(txt.split())
+        if c:
+            toks = list(c.keys())
+            sk.add_hashes(
+                hash64_batch_fast(toks),
+                np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+            )
+        return pa.table({"sketch": pa.array([sk.to_bytes()], pa.large_binary())})
+
+    merged = CountMinSketch(width, depth)
+    for b in ds.map_batches(sketch_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in b["sketch"].to_pylist():
+            merged = merged.merge(CountMinSketch.from_bytes(width, depth, blob))
+    est = merged.estimate_hashes(hash64_batch_fast(probe_tokens))
+    return dict(zip(probe_tokens, (int(x) for x in est)))

@@ -55,3 +55,42 @@ def test_stratified_sample_deterministic(ray_session):
     # deterministic across runs / partitionings
     out2 = stratified_sample(rd.from_arrow(tbl), "stratum", ["k"], 10).to_pandas()
     assert sorted(out[out.stratum == "a"]["k"]) == sorted(out2[out2.stratum == "a"]["k"])
+
+
+def test_count_min_sketch_bounds():
+    import numpy as np
+
+    from bbcrawl_ray.stages.sampling import CountMinSketch
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 2**63, size=5000, dtype=np.int64).astype(np.uint64)
+    true = {}
+    sk = CountMinSketch(width=2048, depth=4)
+    for rep, k in ((7, keys[0]), (3, keys[1]), (1, keys[2])):
+        sk.add_hashes(np.repeat(np.array([k], dtype=np.uint64), rep))
+        true[int(k)] = rep
+    sk.add_hashes(keys[3:])  # background noise
+    probe = keys[:3]
+    est = sk.estimate_hashes(probe)
+    for e, k in zip(est, probe):
+        assert e >= true[int(k)]                 # never under-counts
+        assert e <= true[int(k)] + 5000 * 3 / 2048 + 1  # eps*N slack
+    # merge(a, b) == sketch of the union
+    a, b = CountMinSketch(512, 3), CountMinSketch(512, 3)
+    a.add_hashes(keys[:100]); b.add_hashes(keys[100:200])
+    both = CountMinSketch(512, 3); both.add_hashes(keys[:200])
+    assert (a.merge(b).counts == both.counts).all()
+
+
+def test_approx_token_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bbcrawl_ray.stages.sampling import approx_token_counts
+
+    docs = ["the quick fox", "the lazy dog", "the fox again"] * 50
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs, pa.string())})).repartition(4)
+    est = approx_token_counts(ds, "text", ["the", "fox", "missing"])
+    assert est["the"] >= 150 and est["fox"] >= 100
+    assert est["the"] <= 160 and est["fox"] <= 110  # tiny corpus: near-exact
+    assert est["missing"] <= 5
