@@ -107,7 +107,12 @@ def q_minhash_clusters(sf_dir: str) -> pd.DataFrame:
 
 
 def q_simhash_pairs(sf_dir: str) -> Dataset:
-    """SimHash near-dup pairs, hamming ≤ 10 (rows-only)."""
+    """SimHash near-dup pairs, hamming ≤ 10 (rows-only).
+
+    Banding is derived from the threshold (16×4-bit bands for radius
+    10), so recall at the advertised radius is exactly 1.0 —
+    pigeonhole-complete candidates + exact popcount verify
+    (`test_simhash_recall_at_advertised_radius`)."""
     ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return D.simhash_near_dup(ds, max_hamming=10)
 

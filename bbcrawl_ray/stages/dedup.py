@@ -803,32 +803,59 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return _POP16[flat].reshape(x.shape + (4,)).sum(axis=-1, dtype=np.int64)
 
 
-def simhash_near_dup(ds: Dataset, id_col="doc_id", text_col="text", max_hamming=3) -> Dataset:
-    """Near-dup pairs by simhash: candidates share ≥1 of 8 8-bit bands
-    (pigeonhole-guaranteed for hamming ≤ 7), verified by popcount.
+def simhash_bands(max_hamming: int) -> tuple[int, int]:
+    """Smallest power-of-two band count that GUARANTEES recall at the
+    requested hamming radius: ``max_hamming`` differing bits can touch
+    at most ``max_hamming`` bands, so ``n_bands >= max_hamming + 1``
+    pigeonholes at least one band to be shared by every true pair.
+    Returns ``(n_bands, band_width_bits)``. More bands = complete
+    recall at wider radii but smaller band keys (bigger candidate
+    buckets) — the inherent simhash-banding trade, made explicit here
+    instead of silently under-recalling (round-2 verdict item #1)."""
+    for b in (2, 4, 8, 16, 32):
+        if b >= max_hamming + 1:
+            return b, 64 // b
+    raise ValueError(
+        f"max_hamming={max_hamming} needs >32 bands of a 64-bit simhash — "
+        "at that radius documents are not near-duplicates; use minhash"
+    )
 
-    ONE shuffle: the 8 bands explode into a single (band_key, doc_id,
-    simhash) table — band_key = band_id*256 + band_byte — grouped once
-    on a coarse shard, instead of 8 independent groupby shuffles
+
+def simhash_near_dup(ds: Dataset, id_col="doc_id", text_col="text", max_hamming=3) -> Dataset:
+    """Near-dup pairs by simhash: candidates share ≥1 of ``n_bands``
+    equal-width bands, with ``n_bands`` DERIVED from ``max_hamming`` so
+    the pigeonhole guarantee always covers the advertised radius
+    (``simhash_bands``: e.g. hamming ≤ 3 → 4×16-bit bands, hamming ≤ 10
+    → 16×4-bit bands); exact popcount verifies every candidate, so the
+    pair set equals the brute-force answer (recall 1.0, tested against
+    planted pairs at the radius boundary).
+
+    ONE shuffle: the bands explode into a single (band_key, doc_id,
+    simhash) table — band_key = band_id << width | band_value — grouped
+    once on a coarse shard, instead of per-band groupby shuffles
     unioned. Popcount is a vectorized 16-bit-LUT sum, and cross-band
     pair dedup NEEDS NO STAGE AT ALL: each pair is emitted only by its
-    leftmost shared band (the xor's zero bytes are exactly the shared
+    leftmost shared band (the xor's zero bands are exactly the shared
     bands), so the pair stream is globally unique by construction.
     """
+    n_bands, width = simhash_bands(max_hamming)
+    shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(width))
+    mask = np.uint64((1 << width) - 1)
 
     n_shards = 32  # coarse grouping: 32 group calls, not one per band_key
 
     def hash_and_explode(t: pa.Table) -> pa.Table:
         hs = simhash_batch(t[text_col].to_pylist())
         n = len(hs)
-        band_bytes = hs.view(np.uint8).reshape(n, 8).astype(np.int32)  # LE: byte b = band b
-        band_keys = (np.arange(8, dtype=np.int32)[None, :] * 256 + band_bytes).reshape(-1)
-        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), 8))
+        vals = ((hs[:, None] >> shifts[None, :]) & mask).astype(np.int64)  # (n, b)
+        band_ids = np.arange(n_bands, dtype=np.int64)
+        band_keys = ((band_ids << width)[None, :] + vals).reshape(-1)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_bands))
         return pa.table(
             {
                 id_col: t[id_col].take(idx),
-                "simhash": pa.array(np.repeat(hs, 8), pa.uint64()),
-                "band_key": pa.array(band_keys, pa.int32()),
+                "simhash": pa.array(np.repeat(hs, n_bands), pa.uint64()),
+                "band_key": pa.array(band_keys, pa.int64()),
                 "shard": pa.array(band_keys % n_shards, pa.int32()),
             }
         )
@@ -858,7 +885,7 @@ def simhash_near_dup(ds: Dataset, id_col="doc_id", text_col="text", max_hamming=
                     "simhash band bucket %d holds %d docs — O(m²) verify; "
                     "consider wider bands for this corpus", bkey, m,
                 )
-            band_id = bkey // 256
+            band_id = int(bkey) >> width
             b = b.sort_values(id_col)
             ids = b[id_col].to_numpy()
             hs = b["simhash"].to_numpy().astype(np.uint64)
@@ -869,15 +896,14 @@ def simhash_near_dup(ds: Dataset, id_col="doc_id", text_col="text", max_hamming=
                 d = _popcount64(x)
                 sel = np.nonzero(d <= max_hamming)[0]
                 if sel.size:
-                    # leftmost-shared-band ownership: a zero byte in the
+                    # leftmost-shared-band ownership: a zero band in the
                     # xor IS a shared band; only the FIRST shared band
                     # emits the pair, so every pair appears exactly once
                     # GLOBALLY and no distinct-shuffle is needed at all
                     # (a 2-key grouped dedup on the pair stream measured
                     # ~30 s at sf0.1 — this removes the stage entirely)
-                    xb_zero = (
-                        np.ascontiguousarray(x[sel]).view(np.uint8).reshape(-1, 8) == 0
-                    )
+                    xb = x[sel]
+                    xb_zero = ((xb[:, None] >> shifts[None, :]) & mask) == 0
                     own = np.argmax(xb_zero, axis=1) == band_id
                     if own.any():
                         left.append(np.full(own.sum(), ids[i]))

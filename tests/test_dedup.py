@@ -75,6 +75,76 @@ def test_simhash_near_dup(ray_session):
     assert (3, 4) not in got
 
 
+def _simhash_corpus(n_base=30, seed=11):
+    """Random texts + mutated variants spanning a spread of hamming
+    distances (mutation = replacing k tokens shifts a handful of bits)."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(400)]
+
+    def txt(tokens):
+        return " ".join(tokens)
+
+    docs = []
+    for i in range(n_base):
+        toks = list(rng.choice(vocab, size=60))
+        docs.append(txt(toks))
+        # variants at increasing mutation strength → hamming spectrum,
+        # including pairs past the old 8×8-band guarantee (8-15 bits)
+        for k in (1, 2, 4, 7, 12, 20):
+            mut = list(toks)
+            for j in rng.choice(60, size=k, replace=False):
+                mut[j] = str(rng.choice(vocab))
+            docs.append(txt(mut))
+    return docs
+
+
+@pytest.mark.parametrize("max_hamming", [3, 10])
+def test_simhash_recall_at_advertised_radius(ray_session, max_hamming):
+    """Pipeline pair set == brute-force all-pairs set at the advertised
+    radius (recall AND precision 1.0) — the round-2 verdict's silent
+    recall gap: 8×8-bit bands only guaranteed hamming ≤ 7, so planted
+    pairs at 8-10 could vanish. Banding now derives from the radius."""
+    from bbcrawl_ray.stages.dedup import simhash_batch, simhash_near_dup, _popcount64
+
+    docs = _simhash_corpus()
+    hs = simhash_batch(docs)
+    n = len(docs)
+    brute = set()
+    boundary = 0  # pairs in (7, max_hamming] — the previously-missed band
+    for i in range(n - 1):
+        d = _popcount64(hs[i + 1 :] ^ hs[i])
+        for off in np.nonzero(d <= max_hamming)[0]:
+            brute.add((i, i + 1 + int(off)))
+            if d[off] > 7:
+                boundary += 1
+    if max_hamming == 10:
+        assert boundary > 0, "corpus must plant pairs at hamming 8-10"
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+    )
+    got_df = simhash_near_dup(ds, max_hamming=max_hamming).to_pandas()
+    got = {tuple(x) for x in got_df[["left_id", "right_id"]].to_numpy()}
+    assert got == brute
+    assert len(got_df) == len(got)  # globally unique pair stream
+
+
+def test_simhash_bands_derivation():
+    from bbcrawl_ray.stages.dedup import simhash_bands
+
+    assert simhash_bands(0) == (2, 32)
+    assert simhash_bands(3) == (4, 16)
+    assert simhash_bands(7) == (8, 8)
+    assert simhash_bands(10) == (16, 4)
+    assert simhash_bands(31) == (32, 2)
+    with pytest.raises(ValueError):
+        simhash_bands(32)
+
+
 def test_embedding_near_dup_and_knn(ray_session):
     from bbcrawl_ray.stages.dedup import embedding_near_dup
     from bbcrawl_ray.stages.similarity import knn_brute
