@@ -282,9 +282,10 @@ def q_events_sessions(sf_dir: str) -> Dataset:
     sorted by ts within the user, 30-minute-gap session breaks. Ray Data
     has no event-time windows; the shuffle is ONE groupby on a coarse
     user-shard and the per-shard window logic is a fully vectorized
-    pandas groupby (per-user diff/cumsum), never a Python call per user."""
+    pandas groupby (per-user diff/cumsum), never a Python call per user.
+    Shard count is data-derived (one shard group stays ≈50-100 MB)."""
     ds = R.read_table(sf_dir, "events", columns=["user_id", "ts"])
-    n_shards = 64
+    n_shards = R.data_sized_shards(ds.count())
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(_shard=R.shard_of(df["user_id"], n_shards))
@@ -447,9 +448,10 @@ def q_events_value_delta(sf_dir: str) -> Dataset:
     """Ordered window function (lag): per user, each event's value minus
     the previous event's value. One coarse user-shard shuffle; the lag
     itself is a vectorized per-user pandas groupby diff. First event per
-    user (no predecessor) is dropped (matching the SQL inner lag)."""
+    user (no predecessor) is dropped (matching the SQL inner lag).
+    Shard count is data-derived (one shard group stays ≈50-100 MB)."""
     ds = R.read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
-    n_shards = 64
+    n_shards = R.data_sized_shards(ds.count())
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(_shard=R.shard_of(df["user_id"], n_shards))

@@ -154,7 +154,10 @@ def budget_frontier(
         rank = df.groupby("host", sort=False).cumcount()
         return df.assign(cand=(rank < budget).to_numpy())
 
-    marked = frontier.map_batches(local_mark, batch_format="pandas")
+    # materialized: BOTH branches below (candidates + deferred) read the
+    # same computed blocks — re-executing the lineage twice would make
+    # row conservation depend on the source being deterministic
+    marked = frontier.map_batches(local_mark, batch_format="pandas").materialize()
 
     def defer_block(df: pd.DataFrame) -> pd.DataFrame:
         df = df[~df["cand"]].drop(columns=["cand"])

@@ -284,3 +284,133 @@ def test_review_fix_regressions(ray_session):
         asof_join(
             left, right, key="k", left_time="t", right_time="rt", value_cols=["v"]
         ).to_pandas()
+
+
+def test_asof_output_blocks_schema_uniform(ray_session):
+    """All NON-EMPTY blocks out of asof_join carry ONE schema and dtype
+    set (round-2's bench tail showed float64-vs-int64 o_orderkey blocks
+    out of the union — fixed by casting int value columns to the wire
+    dtype in tag_right and enforcing one final dtype map in merge).
+
+    Ray's own sort machinery still emits schema-LESS empty blocks
+    whenever sort partitions > distinct shard keys — reproduced with a
+    schema-stable UDF returning non-empty frames on plain
+    ``groupby().map_groups``, so it is Ray-internal and benign; bench.py
+    filters that known noise and this test pins the part we own."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from bbcrawl_ray.pipelines.relops import asof_join
+
+    n = 5_000
+    rng = np.random.default_rng(3)
+    lt = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, n),
+            "t": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**5, n), unit="s"),
+            "eid": np.arange(n, dtype=np.int64),
+        }
+    )
+    rt = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, n // 4),
+            "rt": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**5, n // 4), unit="s"),
+            "v": rng.integers(0, 10**6, n // 4).astype(np.int64),
+        }
+    )
+    out = asof_join(
+        rd.from_pandas(lt).repartition(8),
+        rd.from_pandas(rt).repartition(8),
+        key="k",
+        left_time="t",
+        right_time="rt",
+        value_cols=["v"],
+        n_shards=16,
+    ).materialize()
+    schemas = set()
+    for t in ray.get(out.to_arrow_refs()):
+        if t.num_rows:
+            schemas.add(tuple((f.name, str(f.type)) for f in t.schema))
+    assert len(schemas) == 1, schemas
+    (schema,) = schemas
+    assert dict(schema)["v"] == "int64"  # right dtype restored, not float
+
+
+def test_asof_join_data_sized_shards_strings_and_skew(ray_session):
+    """Round-3 items: (a) shard count derives from row count, no fixed
+    64; (b) string left payloads and string value columns survive with
+    dtype-matched nulls (no float-NaN/string mixed blocks); (c) on a
+    skewed key stream the per-shard input is bounded by hot-key mass +
+    the hashed remainder — pinned here against a merge_asof oracle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bbcrawl_ray.pipelines.relops import asof_join, data_sized_shards, shard_of
+
+    assert data_sized_shards(1) == 16
+    assert data_sized_shards(500_000 * 64) == 64
+    assert data_sized_shards(500_000 * 640) == 640
+
+    rng = np.random.default_rng(5)
+    n, rn = 20_000, 5_000
+    keys = (rng.zipf(1.3, size=n) % 400).astype(np.int64)  # heavy head
+    lt = pd.DataFrame(
+        {
+            "k": keys,
+            "t": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "label": pd.Series([f"L{i % 7}" for i in range(n)], dtype=object),
+        }
+    )
+    rt = pd.DataFrame(
+        {
+            "k": (rng.zipf(1.3, size=rn) % 400).astype(np.int64),
+            "rt": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, rn), unit="s"),
+            "v": rng.integers(0, 1000, rn).astype(np.int64),
+            "tag": pd.Series([f"T{i % 5}" for i in range(rn)], dtype=object),
+        }
+    ).drop_duplicates(["k", "rt"])  # unambiguous as-of choice for the oracle
+
+    # per-shard input bound: a single key can never split, so the bound
+    # is hot-key mass plus the hashed spread of everything else
+    shards = data_sized_shards(n + rn, target_rows=1000)
+    sizes = pd.Series(shard_of(lt["k"], shards)).value_counts()
+    hot = lt["k"].value_counts().iloc[0]
+    assert sizes.max() <= hot + 4 * (n / shards)
+
+    out = asof_join(
+        rd.from_pandas(lt),
+        rd.from_pandas(rt),
+        key="k",
+        left_time="t",
+        right_time="rt",
+        value_cols=["v", "tag"],
+        n_shards=shards,
+    ).to_pandas()
+    # right-schema dtypes restored without explicit value_casts
+    assert str(out["v"].dtype) == "int64" and out["tag"].dtype == object
+    assert out["label"].dtype == object
+
+    oracle = pd.merge_asof(
+        lt.sort_values("t", kind="mergesort"),
+        rt.sort_values("rt", kind="mergesort"),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction="backward",
+    ).dropna(subset=["v"])[["k", "t", "label", "v", "tag"]]
+    oracle["v"] = oracle["v"].astype("int64")
+    key_cols = ["k", "t", "label", "v", "tag"]
+    pd.testing.assert_frame_equal(
+        out[key_cols].sort_values(key_cols, kind="mergesort").reset_index(drop=True),
+        oracle.sort_values(key_cols, kind="mergesort").reset_index(drop=True),
+        check_dtype=False,
+    )
