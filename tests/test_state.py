@@ -209,6 +209,49 @@ def test_host_clock_global_spacing(ray_session):
     assert clock.reserve("b.example", 5.0) <= time.time()
 
 
+def test_fetch_batches_clock_reservations(ray_session):
+    """RPCs to the host clock per batch == distinct hosts, not rows:
+    the first hit of a host reserves every remaining slot for that host
+    in one reserve(host, delay, n) call (round-3 item #5)."""
+    import time as _time
+
+    from bbcrawl_ray.stages.fetch import FetchConfig, Fetcher
+
+    class CountingClock:
+        def __init__(self):
+            self.calls = []
+
+        def reserve(self, host, delay, n=1):
+            self.calls.append((host, delay, n))
+            return _time.time()
+
+    clock = CountingClock()
+    f = Fetcher(FetchConfig(min_host_delay_s=0.001, clock=clock))
+    n_a, n_b = 5, 3
+    urls = [f"http://a.example/t?page={i}" for i in range(n_a)] + [
+        f"http://b.example/t?page={i}" for i in range(n_b)
+    ]
+    hosts = ["a.example"] * n_a + ["b.example"] * n_b
+    batch = pa.table(
+        {
+            "url": pa.array(urls),
+            "host": pa.array(hosts),
+            "seed_id": pa.array(["s"] * (n_a + n_b)),
+            "page_num": pa.array(range(n_a + n_b), pa.int64()),
+        }
+    )
+    out = f(batch)
+    assert out.num_rows == n_a + n_b
+    assert len(clock.calls) == 2
+    assert {(h, n) for h, _, n in clock.calls} == {
+        ("a.example", n_a),
+        ("b.example", n_b),
+    }
+    # second batch starts fresh (no stale slots reused)
+    f(batch)
+    assert len(clock.calls) == 4
+
+
 def test_budget_frontier_multiblock_exact(ray_session):
     """Budgeted selection is exact across many blocks: the per-block
     top-(budget) prune (skew safety) must not change which rows win."""
