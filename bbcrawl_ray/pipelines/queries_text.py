@@ -101,6 +101,34 @@ def q_dedup_exact(sf_dir: str) -> Dataset:
     return D.exact_dedup(keyed, key="key", id_col="doc_id")
 
 
+def q_dedup_keep_first(sf_dir: str) -> Dataset:
+    """Keep-first exact dedup: the FULL first row (min doc_id) per
+    distinct 30-char content-prefix key — the scale-path variant of
+    ``dedup_exact`` (per-block pre-dedup + one key-shard shuffle)."""
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    keyed = ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "key": pc.utf8_slice_codeunits(t["text"], 0, 30)}
+        ),
+        batch_format="pyarrow",
+    )
+    return D.exact_dedup_keep_first(keyed, key="key")
+
+
+def q_minhash_clusters_distributed(sf_dir: str) -> pd.DataFrame:
+    """``minhash_clusters`` with every broadcast/driver gate FORCED off
+    (rows-only): signature prefilter and exact verify run as
+    hash-partitioned joins, connected components as min-label
+    propagation — the exact 100-TB scale path, exercised by the driver
+    instead of only pytest. Must produce the same clusters as the gated
+    variant (parity-pinned in tests/test_dedup.py)."""
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = D.minhash_dedup(
+        ds, threshold=0.5, broadcast_gates=False, cc_driver_gate=None
+    ).to_pandas()
+    return out.sort_values(["doc_id"]).reset_index(drop=True)
+
+
 def q_minhash_clusters(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup clusters (rows-only). Fully distributed
     pipeline; the small (doc_id, cluster_id) result collects at the end."""
@@ -333,7 +361,9 @@ TEXT_QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "top_tokens": q_top_tokens,
     "dedup_exact": q_dedup_exact,
+    "dedup_keep_first": q_dedup_keep_first,
     "minhash_clusters": q_minhash_clusters,
+    "minhash_clusters_distributed": q_minhash_clusters_distributed,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_pairs_exact": q_embedding_pairs_exact,
@@ -380,6 +410,15 @@ TEXT_ORACLE_SQL = {
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*) AS dup_count
         FROM documents GROUP BY substr(text, 1, 30)
+    """,
+    "dedup_keep_first": """
+        SELECT doc_id, key FROM (
+            SELECT doc_id, substr(text, 1, 30) AS key,
+                   row_number() OVER (
+                       PARTITION BY substr(text, 1, 30) ORDER BY doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn = 1
     """,
     "read_seeds": """
         SELECT r_name AS seed_id, 'query' AS pager,

@@ -301,17 +301,18 @@ def _join_partitions(requested: int | None = None, rows: int | None = None) -> i
     aggregator actors reserve resources per partition, so 16 partitions
     on a 4-CPU test cluster starve the map stages (near-deadlock), and
     16 partitions for a few-hundred-row label table is pure startup
-    overhead. Clamp to [2, min(16, cpus)], and to ~100k rows/partition
-    when the row count is known."""
+    overhead. With a KNOWN row count the fan-out targets ~100k
+    rows/partition up to the cluster's CPU count (so per-partition input
+    stays bounded on big clusters instead of growing past a fixed 16);
+    with an unknown count it stays at the conservative min(16, cpus)."""
     import ray
 
     if requested is not None:
         return requested
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    cap = max(2, min(16, cpus))
     if rows is not None:
-        return max(2, min(cap, -(-rows // 100_000)))
-    return cap
+        return max(2, min(max(2, cpus), -(-rows // 100_000)))
+    return max(2, min(16, cpus))
 
 
 def _compact_blocks(ds: Dataset) -> Dataset:
@@ -477,15 +478,23 @@ def _sig_est_from_maps(t: pa.Table, sig_ref, min_est: float) -> pa.Table:
     import ray
 
     sig_map = ray.get(sig_ref)
+    if t.num_rows == 0:
+        return t.select(["left_id", "right_id"])
+    # pairs referencing ids absent from the corpus DROP, matching the
+    # join tier's inner-join semantics (a KeyError here would make
+    # behavior depend on which side of the size gate the input lands)
+    lv = [sig_map.get(x) for x in t["left_id"].to_pylist()]
+    rv = [sig_map.get(x) for x in t["right_id"].to_pylist()]
+    present = np.array([a is not None and b is not None for a, b in zip(lv, rv)])
+    if not present.all():
+        t = t.take(pa.array(np.nonzero(present)[0].astype(np.int64)))
+        lv = [v for v, p in zip(lv, present) if p]
+        rv = [v for v, p in zip(rv, present) if p]
     n = t.num_rows
     if n == 0:
         return t.select(["left_id", "right_id"])
-    ls = np.frombuffer(
-        b"".join(sig_map[x] for x in t["left_id"].to_pylist()), dtype=np.uint64
-    ).reshape(n, 64)
-    rs = np.frombuffer(
-        b"".join(sig_map[x] for x in t["right_id"].to_pylist()), dtype=np.uint64
-    ).reshape(n, 64)
+    ls = np.frombuffer(b"".join(lv), dtype=np.uint64).reshape(n, 64)
+    rs = np.frombuffer(b"".join(rv), dtype=np.uint64).reshape(n, 64)
     est = (ls == rs).mean(axis=1)
     idx = pa.array(np.nonzero(est >= min_est)[0].astype(np.int64))
     return pa.table(
@@ -726,7 +735,13 @@ def cluster_propagate(
 
 
 def minhash_dedup(
-    ds: Dataset, id_col="doc_id", text_col="text", k=5, threshold=0.8
+    ds: Dataset,
+    id_col="doc_id",
+    text_col="text",
+    k=5,
+    threshold=0.8,
+    broadcast_gates: bool = True,
+    cc_driver_gate: int | None = _CC_DRIVER_GATE,
 ) -> Dataset:
     """Full near-dup pipeline → (doc_id, cluster_id) Dataset.
 
@@ -745,9 +760,16 @@ def minhash_dedup(
         minhash_candidates(ds, sigs=sigs, id_col=id_col, text_col=text_col, k=k)
     )
     verified = verify_pairs_distributed(
-        cands, ds, id_col=id_col, text_col=text_col, k=k, threshold=threshold, sigs=sigs
+        cands,
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        threshold=threshold,
+        sigs=sigs,
+        broadcast_gates=broadcast_gates,
     )
-    return cluster_propagate(verified)
+    return cluster_propagate(verified, driver_gate=cc_driver_gate)
 
 
 # ---------------------------------------------------------------------------
