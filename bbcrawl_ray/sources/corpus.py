@@ -212,7 +212,16 @@ class HttpTransport:
                 return Response(resp.status, headers, resp.read())
         except urllib.error.HTTPError as e:
             loc = e.headers.get("Location", "") if e.headers else ""
-            return Response(e.code, {k: [v] for k, v in (e.headers or {}).items()}, b"", loc)
+            try:
+                # non-2xx bodies parse like any other (api.go:101-114:
+                # Go's client.Do does not error on 404)
+                body = e.read()
+            except Exception:  # noqa: BLE001 — connection died mid-body
+                body = b""
+            headers: dict[str, list[str]] = {}
+            for k, v in (e.headers or {}).items():
+                headers.setdefault(k, []).append(v)  # repeats survive
+            return Response(e.code, headers, body, loc)
 
 
 def make_transport(kind: str, cfg=None, pages=None):

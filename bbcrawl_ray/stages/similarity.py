@@ -277,18 +277,40 @@ def knn_ivf(
 
     try:
         if not _index_valid():
-            if os.path.isdir(index_dir) and os.listdir(index_dir):
-                if not derived:
-                    # NEVER destroy a caller-supplied directory that is
-                    # not a matching index — it may hold anything
-                    raise ValueError(
-                        f"index_dir {index_dir!r} exists but does not match "
-                        "this dataset/params; clear it or pass a fresh path"
-                    )
+            if os.path.isdir(index_dir) and os.listdir(index_dir) and not derived:
+                # NEVER destroy a caller-supplied directory that is
+                # not a matching index — it may hold anything
+                raise ValueError(
+                    f"index_dir {index_dir!r} exists but does not match "
+                    "this dataset/params; clear it or pass a fresh path"
+                )
+            if cache_key is not None:
+                # ATOMIC publish into the SHARED deterministic cache dir:
+                # build in a unique sibling, then one rename — a
+                # concurrent process can never probe a half-built index
+                # or rmtree one mid-build (the old meta.json-written-last
+                # ordering left both windows open)
+                parent = os.path.dirname(index_dir)
+                os.makedirs(parent, exist_ok=True)
+                tmp = tempfile.mkdtemp(prefix=".ivf_build_", dir=parent)
+                build_ivf_index(
+                    ds, tmp, n_cells, id_col=id_col, vec_col=vec_col, sample_rows=sample_rows
+                )
                 shutil.rmtree(index_dir, ignore_errors=True)
-            build_ivf_index(
-                ds, index_dir, n_cells, id_col=id_col, vec_col=vec_col, sample_rows=sample_rows
-            )
+                try:
+                    os.rename(tmp, index_dir)
+                except OSError:
+                    # lost the publish race — the winner's index is
+                    # equivalent (same cache key ⇒ same params/data)
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    if not _index_valid():
+                        raise
+            else:
+                if os.path.isdir(index_dir) and os.listdir(index_dir):
+                    shutil.rmtree(index_dir, ignore_errors=True)
+                build_ivf_index(
+                    ds, index_dir, n_cells, id_col=id_col, vec_col=vec_col, sample_rows=sample_rows
+                )
         return knn_ivf_probe(
             index_dir, queries, query_ids, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
         )

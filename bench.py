@@ -92,6 +92,62 @@ def crawl_workload(num_cpus: int, n_hosts: int = 16, pages_per_host: int = 2000,
         shutil.rmtree(root, ignore_errors=True)
 
 
+def discovery_workload(num_cpus: int, n_hosts: int = 8, pages_per_host: int = 500) -> dict:
+    """Frontier-discovery bench: follow_links crawl where epoch 0's pages
+    offer pages × link_next_pages links back into the frontier — the
+    seen filter + _links_to_frontier path is what's being measured
+    (almost every offered link is a re-offer and must die cheaply)."""
+    from bbcrawl_ray.cli.partition import CrawlerSpec
+    from bbcrawl_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from bbcrawl_ray.sources.corpus import CorpusConfig
+
+    seeds = [
+        {
+            "seed_id": f"d{h:03d}",
+            "pager": "query",
+            "blueprint_url": f"http://forum{h}.example/t",
+            "start": 1,
+            "end": pages_per_host,
+        }
+        for h in range(n_hosts)
+    ]
+    root = tempfile.mkdtemp(prefix="bbray_disc_")
+    try:
+        cfg = CrawlConfig(
+            crawler=CrawlerSpec(crawler="src", tags=["img"]),
+            seeds=seeds,
+            output_root=root,
+            corpus=CorpusConfig(link_next_pages=8),
+            follow_links=True,
+            same_host_only=True,
+            max_epochs=2,
+            seen_shards=4,
+            seen_mode="bloom",
+            fetch_concurrency=(2, max(4, num_cpus)),
+            fetch_batch_size=512,
+            fetch_num_cpus=1,
+            metrics_level="lite",
+        )
+        t0 = time.perf_counter()
+        res = run_crawl(cfg)
+        wall = time.perf_counter() - t0
+        pages = sum(m["pages_parsed"] for m in res.metrics)
+        seed_pages = n_hosts * pages_per_host
+        offered = sum(m.get("frontier_selected", 0) for m in res.metrics[1:])
+        dedup_hits = sum(m.get("dedup_hits", 0) for m in res.metrics[1:])
+        return {
+            "wall_s": round(wall, 3),
+            "pages": pages,
+            "seed_pages": seed_pages,
+            "discovered_pages": pages - seed_pages,
+            "links_offered": offered,
+            "seen_filter_kills": dedup_hits,
+            "pages_per_s": round(pages / wall, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 BENCH_QUERIES = [
     "pricing_summary",
     "filter_project",
@@ -147,6 +203,7 @@ def main() -> None:
             f.read()
 
     crawl = crawl_workload(num_cpus)
+    discovery = discovery_workload(num_cpus)
     queries = run_queries(sf_dir)
     # metric name matches the value: wall-seconds of the headline crawl
     # (throughput lives in crawl.pages_per_s — r1 reported seconds under
@@ -159,6 +216,7 @@ def main() -> None:
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "crawl": crawl,
+        "discovery": discovery,
     }
     print(json.dumps(result))
     ray.shutdown()

@@ -286,6 +286,67 @@ def test_review_fix_regressions(ray_session):
         ).to_pandas()
 
 
+def test_http_transport_loopback():
+    """Exercise the real urllib transport against a canned loopback
+    server (no external network): 200 with repeated headers and body,
+    404 via the HTTPError path, and 302 with the Location surfaced but
+    NOT followed (redirect policy belongs to the Fetcher)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from bbcrawl_ray.sources.corpus import HttpTransport
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/ok":
+                body = b"<html>hi</html>"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Set-Cookie", "a=1")
+                self.send_header("Set-Cookie", "b=2")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/redir":
+                self.send_response(302)
+                self.send_header("Location", "/ok")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+            else:
+                body = b"<h1>not here</h1>"
+                self.send_response(404)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        tr = HttpTransport(timeout=5.0)
+        ok = tr.get(f"http://127.0.0.1:{port}/ok", headers={"X-Test": "1"})
+        assert ok.status == 200
+        assert ok.body == b"<html>hi</html>"
+        assert ok.headers["Content-Type"] == ["text/html; charset=utf-8"]
+        assert ok.headers["Set-Cookie"] == ["a=1", "b=2"]  # repeats survive
+
+        missing = tr.get(f"http://127.0.0.1:{port}/nope")
+        assert missing.status == 404
+        assert missing.body == b"<h1>not here</h1>"  # non-2xx bodies kept
+
+        redir = tr.get(f"http://127.0.0.1:{port}/redir")
+        assert redir.status == 302
+        assert redir.redirect_to == "/ok"  # surfaced, not followed
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_asof_output_blocks_schema_uniform(ray_session):
     """All NON-EMPTY blocks out of asof_join carry ONE schema and dtype
     set (round-2's bench tail showed float64-vs-int64 o_orderkey blocks

@@ -42,3 +42,48 @@ def test_read_seeds_missing_column(ray_session, tmp_path):
 
     with pytest.raises(Exception, match="missing required column"):
         seed_rows_from_file(str(tmp_path / "bad.parquet"))
+
+
+def test_storage_adapter_parquet_roundtrip(ray_session, tmp_path):
+    """The one-seam storage adapter round-trips through its default
+    (parquet in this sandbox) with column pruning."""
+    import ray.data as rd
+
+    from bbcrawl_ray.state.storage import read_dataset, write_dataset
+
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64()), "b": pa.array(["x", "y", "z"])})
+    write_dataset(rd.from_arrow(t), str(tmp_path / "tbl"), fmt="parquet")
+    out = (
+        read_dataset([str(tmp_path / "tbl")], t.schema, fmt="parquet")
+        .to_pandas()
+        .sort_values("a")
+    )
+    assert list(out["a"]) == [1, 2, 3] and list(out["b"]) == ["x", "y", "z"]
+    pruned = read_dataset(
+        [str(tmp_path / "tbl")], t.schema, fmt="parquet", columns=["a"]
+    ).to_pandas()
+    assert list(pruned.columns) == ["a"]
+
+
+def test_storage_adapter_lance_roundtrip(ray_session, tmp_path):
+    """Runs the moment pylance lands in the environment (the north rule
+    names Lance tables); cleanly skipped until then so the lance branch
+    cannot rot silently."""
+    from bbcrawl_ray.state.storage import lance_available, read_dataset, write_dataset
+
+    if not lance_available():
+        pytest.skip("pylance not installed in this sandbox")
+    import ray.data as rd
+
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64()), "b": pa.array(["x", "y", "z"])})
+    write_dataset(rd.from_arrow(t), str(tmp_path / "tbl.lance"), fmt="lance")
+    out = (
+        read_dataset([str(tmp_path / "tbl.lance")], t.schema, fmt="lance")
+        .to_pandas()
+        .sort_values("a")
+    )
+    assert list(out["a"]) == [1, 2, 3] and list(out["b"]) == ["x", "y", "z"]
+    pruned = read_dataset(
+        [str(tmp_path / "tbl.lance")], t.schema, fmt="lance", columns=["a"]
+    ).to_pandas()
+    assert list(pruned.columns) == ["a"]
