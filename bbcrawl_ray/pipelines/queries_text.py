@@ -137,6 +137,14 @@ def q_minhash_clusters(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id"]).reset_index(drop=True)
 
 
+def q_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
+    """EXACT word-trigram Jaccard >= 0.5 near-dup pairs, oracle-backed:
+    integer-only output (inter / union_n) so values hash exactly against
+    the SQL self-join oracle."""
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return D.ngram_jaccard_pairs(ds, n=3, threshold_num=1, threshold_den=2)
+
+
 def q_simhash_pairs(sf_dir: str) -> Dataset:
     """SimHash near-dup pairs, hamming ≤ 10 (rows-only).
 
@@ -362,6 +370,7 @@ TEXT_QUERIES = {
     "top_tokens": q_top_tokens,
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_clusters": q_minhash_clusters,
     "minhash_clusters_distributed": q_minhash_clusters_distributed,
     "simhash_pairs": q_simhash_pairs,
@@ -419,6 +428,29 @@ TEXT_ORACLE_SQL = {
                    ) AS rn
             FROM documents
         ) WHERE rn = 1
+    """,
+    "ngram_jaccard_pairs": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+            FROM toks, UNNEST(generate_series(1, len(a) - 2)) AS t(i)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        ), co AS (
+            SELECT g1.doc_id AS left_id, g2.doc_id AS right_id,
+                   count(*) AS inter
+            FROM grams g1 JOIN grams g2
+              ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT co.left_id, co.right_id, CAST(co.inter AS BIGINT) AS inter,
+               CAST(s1.n + s2.n - co.inter AS BIGINT) AS union_n
+        FROM co
+        JOIN sizes s1 ON co.left_id = s1.doc_id
+        JOIN sizes s2 ON co.right_id = s2.doc_id
+        WHERE 2 * co.inter >= s1.n + s2.n - co.inter
     """,
     "read_seeds": """
         SELECT r_name AS seed_id, 'query' AS pager,

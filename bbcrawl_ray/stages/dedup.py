@@ -773,6 +773,197 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted-index join)
+
+_NG_C = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F), np.uint64(0x165667B19E3779F9))
+
+
+def ngram_jaccard_pairs(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    n_shards: int = 64,
+    sizes_broadcast_bytes: int = 64 << 20,
+) -> Dataset:
+    """EXACT word-n-gram Jaccard near-dup pairs (unlike minhash/simhash,
+    no approximation): all pairs with jaccard >= threshold_num/threshold_den
+    over their DISTINCT word n-gram sets, as integer-only columns
+    (left_id, right_id, inter, union_n) so the result value-hashes
+    exactly against a SQL oracle.
+
+    Inverted-index composition (the classic exact-jaccard scale shape):
+
+    1. tokenize via Arrow split/flatten, hash tokens once, combine
+       per-window into 64-bit gram hashes — all vectorized, the window
+       mask keeps grams from crossing document boundaries;
+    2. per-block DISTINCT (doc, gram) + per-doc gram counts (combiner);
+    3. gram-shard shuffle; within a shard a pandas self-merge per gram
+       expands co-occurring pairs (sum of df² work — inherent to exact
+       jaccard; oversized gram buckets are LOGGED) and pre-counts them;
+    4. pair-shard shuffle sums partial co-occurrence counts → inter;
+    5. per-doc set sizes meet the pair stream by broadcast under an
+       ABSOLUTE byte gate (16 B/doc), hash-join above it; the integer
+       filter ``den*inter >= num*(|A|+|B|-inter)`` avoids float compare.
+
+    Hash collisions merging two grams are ~2^-64 per pair — exactness
+    is modulo that, like every hashed-shingle implementation.
+    """
+    import ray
+
+    from ..functions.urlfns import hash64_batch_fast
+    from ..pipelines.relops import shard_of
+
+    def gram_stream(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(t[text_col])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        values = toks.flatten()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ok = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+        th = hash64_batch_fast(values.to_pylist())
+        th, parents = th[ok], parents[ok]
+        if len(th) < n:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.uint64()),
+                    id_col: pa.array([], t[id_col].type),
+                }
+            )
+        gram = np.zeros(len(th) - n + 1, dtype=np.uint64)
+        for j in range(n):
+            gram ^= th[j : len(th) - n + 1 + j] * _NG_C[j % len(_NG_C)]
+        valid = parents[: len(gram)] == parents[n - 1 :]
+        doc_idx = parents[: len(gram)][valid]
+        df = pd.DataFrame({"g": gram[valid], "_i": doc_idx}).drop_duplicates()
+        ids = t[id_col].to_pandas()
+        return pa.table(
+            {
+                "g": pa.array(df["g"].to_numpy(), pa.uint64()),
+                id_col: pa.array(ids.iloc[df["_i"]].to_numpy(), t[id_col].type),
+            }
+        )
+
+    grams = ds.map_batches(gram_stream, batch_format="pyarrow").materialize()
+
+    # per-doc distinct-gram sizes (combiner: one row per doc per block)
+    from ..pipelines.relops import partial_group_aggregate
+
+    sizes = partial_group_aggregate(
+        grams.map_batches(
+            lambda t: pa.table(
+                {id_col: t[id_col], "n_grams": pa.array(np.ones(t.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        ),
+        [id_col],
+        sums={"n_grams": "n_grams"},
+    )
+
+    def shard_grams(t: pa.Table) -> pa.Table:
+        g = t["g"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_shard", pa.array((g % np.uint64(n_shards)).astype(np.int64))
+        )
+
+    sharded = grams.map_batches(shard_grams, batch_format="pyarrow")
+
+    def pairs_in_shard(gdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.loglevels import get_logger
+
+        df = gdf[["g", id_col]]
+        vc = df["g"].value_counts()
+        big = vc[vc > 20_000]
+        if len(big):
+            get_logger(__name__).warning(
+                "ngram_jaccard: gram bucket of %d docs — O(df²) pair expansion",
+                int(big.iloc[0]),
+            )
+        m = df.merge(df, on="g")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        out = (
+            m.groupby([f"{id_col}_x", f"{id_col}_y"], sort=False)
+            .size()
+            .reset_index(name="inter")
+        )
+        out.columns = ["left_id", "right_id", "inter"]
+        pair_shard = (
+            shard_of(out["left_id"], n_shards) * 31 + shard_of(out["right_id"], n_shards)
+        ) % n_shards
+        return out.assign(_pshard=pair_shard.astype("int64"))
+
+    partial_pairs = sharded.groupby("_shard").map_groups(
+        pairs_in_shard, batch_format="pandas"
+    )
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["left_id", "right_id"], sort=False)["inter"]
+            .sum()
+            .reset_index()
+            .astype({"inter": "int64"})
+        )
+
+    pairs = partial_pairs.groupby("_pshard").map_groups(sum_pairs, batch_format="pandas")
+
+    n_docs = ds.count()
+    if n_docs * 16 <= sizes_broadcast_bytes:
+        size_map: dict = {}
+        for b in sizes.iter_batches(batch_format="pyarrow"):
+            size_map.update(zip(b[id_col].to_pylist(), b["n_grams"].to_pylist()))
+        ref = ray.put(size_map)
+
+        def finish(t: pa.Table) -> pa.Table:
+            sm = ray.get(ref)
+            inter = t["inter"].to_numpy(zero_copy_only=False)
+            na = np.array([sm[x] for x in t["left_id"].to_pylist()], dtype=np.int64)
+            nb = np.array([sm[x] for x in t["right_id"].to_pylist()], dtype=np.int64)
+            union_n = na + nb - inter
+            keep = threshold_den * inter >= threshold_num * union_n
+            idx = pa.array(np.nonzero(keep)[0].astype(np.int64))
+            return pa.table(
+                {
+                    "left_id": t["left_id"].take(idx),
+                    "right_id": t["right_id"].take(idx),
+                    "inter": pa.array(inter[keep], pa.int64()),
+                    "union_n": pa.array(union_n[keep], pa.int64()),
+                }
+            )
+
+        return pairs.map_batches(finish, batch_format="pyarrow")
+
+    # join path: sizes meet pairs twice by hash partition
+    nparts = _join_partitions(rows=n_docs)
+    pairs = _compact_blocks(pairs)
+    ls = _rename(sizes, {id_col: "left_id", "n_grams": "na"}, [id_col, "n_grams"])
+    rs = _rename(sizes, {id_col: "right_id", "n_grams": "nb"}, [id_col, "n_grams"])
+    j = pairs.join(ls, join_type="inner", num_partitions=nparts, on=("left_id",))
+    j = j.join(rs, join_type="inner", num_partitions=nparts, on=("right_id",))
+
+    def finish_join(t: pa.Table) -> pa.Table:
+        inter = t["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        union_n = (
+            t["na"].to_numpy(zero_copy_only=False)
+            + t["nb"].to_numpy(zero_copy_only=False)
+            - inter
+        ).astype(np.int64)
+        keep = threshold_den * inter >= threshold_num * union_n
+        idx = pa.array(np.nonzero(keep)[0].astype(np.int64))
+        return pa.table(
+            {
+                "left_id": t["left_id"].take(idx),
+                "right_id": t["right_id"].take(idx),
+                "inter": pa.array(inter[keep], pa.int64()),
+                "union_n": pa.array(union_n[keep], pa.int64()),
+            }
+        )
+
+    return j.map_batches(finish_join, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # simhash
 
 from .textops import hash64_token  # noqa: E402

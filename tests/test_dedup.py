@@ -133,6 +133,48 @@ def test_simhash_recall_at_advertised_radius(ray_session, max_hamming):
     assert len(got_df) == len(got)  # globally unique pair stream
 
 
+def test_ngram_jaccard_pairs_bruteforce_parity(ray_session):
+    """Engine pair set + integer inter/union columns == python-set brute
+    force over word trigrams, at τ = 0.5 (exact operator, no LSH)."""
+    from bbcrawl_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = _simhash_corpus(n_base=10, seed=3)  # base docs + mutated variants
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+    )
+    got = (
+        ngram_jaccard_pairs(ds, n=3, threshold_num=1, threshold_den=2)
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    gs = [grams(t) for t in docs]
+    brute = []
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(gs[i] & gs[j])
+            union = len(gs[i] | gs[j])
+            if union and 2 * inter >= union:
+                brute.append((i, j, inter, union))
+    import pandas as pd
+
+    want = pd.DataFrame(
+        brute, columns=["left_id", "right_id", "inter", "union_n"]
+    ).sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    assert len(want) > 0  # corpus must contain real near-dups
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
 def test_simhash_bands_derivation():
     from bbcrawl_ray.stages.dedup import simhash_bands
 
