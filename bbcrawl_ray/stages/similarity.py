@@ -69,15 +69,19 @@ def knn_brute(
         )
 
     local = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    rows = []
-    for qid, grp in local.groupby("query_id"):
-        if exclude_self:
-            grp = grp[grp["neighbor_id"] != qid]
-        # deterministic ordering: score desc, id asc for ties
-        grp = grp.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(grp.iterrows(), start=1):
-            rows.append((qid, r["neighbor_id"], rank))
-    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]).astype(
+    if exclude_self:
+        local = local[local["neighbor_id"] != local["query_id"]]
+    # deterministic ordering: score desc, id asc for ties — one
+    # vectorized sort + grouped head/cumcount, no per-row iteration
+    out = (
+        local.sort_values(
+            ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
+        )
+        .groupby("query_id", sort=True)
+        .head(k)
+    )
+    out = out.assign(rank=out.groupby("query_id", sort=False).cumcount() + 1)
+    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True).astype(
         {"query_id": "int64", "neighbor_id": "int64", "rank": "int64"}
     )
 
