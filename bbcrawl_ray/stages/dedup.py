@@ -471,7 +471,10 @@ _SIG_MARGIN = 0.25
 # them the small side ships once via ray.put instead of paying 2 join
 # operators' startup; above them the hash-partitioned join path runs.
 _SIG_BROADCAST_BYTES = 64 << 20      # sig table: 520 B/doc → ≤ ~128k docs
-_SURV_BROADCAST_PAIRS = 2_000        # survivor docs ≤ 4k → shingles ≤ ~100 MB
+_SURV_BROADCAST_PAIRS = 4_000_000    # id-set ceiling: ≤ ~64 MB of ids
+_SHINGLE_BROADCAST_BYTES = 64 << 20  # survivor shingle map byte cap —
+# enforced WHILE building (bail to the join path the moment it trips),
+# so the gate bounds actual bytes, not a pair-count proxy
 
 
 def _sig_est_from_maps(t: pa.Table, sig_ref, min_est: float) -> pa.Table:
@@ -583,6 +586,7 @@ def verify_pairs_distributed(
         return _empty_verified(survivors)
 
     # tier 2: exact verify on survivors
+    sh_ref = None
     if broadcast_gates and n_surv <= _SURV_BROADCAST_PAIRS:
         surv_ids: set = set()
         for b in survivors.iter_batches(batch_format="pyarrow"):
@@ -593,14 +597,25 @@ def verify_pairs_distributed(
         def keep(t: pa.Table) -> pa.Table:
             return t.filter(pc.is_in(t[id_col], value_set=ray.get(ids_ref)))
 
+        # byte-capped map build: the gate is the ACTUAL shingle payload,
+        # not a pair-count proxy (r2's 2k-pair gate pushed a 40 MB case
+        # through two join operators); trips → join path picks up
         sh_map: dict = {}
+        sh_bytes = 0
         for b in (
             docs.map_batches(keep, batch_format="pyarrow")
             .map_batches(ShingleStage(id_col, text_col, k), batch_format="pyarrow")
             .iter_batches(batch_format="pyarrow")
         ):
-            sh_map.update(zip(b[id_col].to_pylist(), b["shingles"].to_pylist()))
-        sh_ref = ray.put(sh_map)
+            vals = b["shingles"].to_pylist()
+            sh_bytes += sum(len(v) for v in vals)
+            if sh_bytes > _SHINGLE_BROADCAST_BYTES:
+                sh_map = {}
+                break
+            sh_map.update(zip(b[id_col].to_pylist(), vals))
+        if sh_map:
+            sh_ref = ray.put(sh_map)
+    if sh_ref is not None:
 
         def verify_bc(t: pa.Table) -> pa.Table:
             shm = ray.get(sh_ref)
