@@ -162,6 +162,9 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "simhash_pairs",
     "events_last_order",
+    # round-3 additions (new keys; earlier rounds' comparable set unchanged)
+    "ngram_jaccard_pairs",
+    "dedup_keep_first",
 ]
 
 
