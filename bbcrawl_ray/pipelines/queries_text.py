@@ -112,7 +112,9 @@ def q_dedup_keep_first(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
-    return D.exact_dedup_keep_first(keyed, key="key")
+    return D.exact_dedup_keep_first(
+        keyed, key="key", n_shards=R.data_sized_shards(ds.count(), min_shards=32)
+    )
 
 
 def q_minhash_clusters_distributed(sf_dir: str) -> pd.DataFrame:
