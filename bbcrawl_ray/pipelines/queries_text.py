@@ -147,6 +147,52 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
     return D.ngram_jaccard_pairs(ds, n=3, threshold_num=1, threshold_den=2)
 
 
+def q_corpus_prep(sf_dir: str) -> Dataset:
+    """Flagship COMPOSED training-data prep chain (oracle-backed): the
+    sequence a real corpus build runs before tokenization —
+
+    1. quality gate: Arrow regex-count kernels with INTEGER-only
+       arithmetic (so the SQL oracle matches bit-exactly): 15 <=
+       n_tokens <= 90, alpha chars >= half of all chars, >= 1 English
+       stopword;
+    2. near-identity removal: keep-first exact dedup on the 30-char
+       content prefix (per-block pre-dedup, then one key-shard shuffle
+       — surviving rows cross the wire once, data-sized shards);
+    3. per-source accounting: docs kept + token/char volume via the
+       combiner-style grouped sum (one row per source per block enters
+       the final shuffle).
+
+    Every stage streams — the gate prunes before the only wide step,
+    and nothing data-proportional lands on the driver."""
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        t = T.add_quality_counts(t)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["n_tokens"], 15),
+                pc.less_equal(t["n_tokens"], 90),
+            ),
+            pc.and_(
+                pc.greater_equal(pc.multiply(t["n_alpha"], 2), t["n_chars_q"]),
+                pc.greater_equal(t["n_stopwords"], 1),
+            ),
+        )
+        t = t.filter(keep)
+        return t.append_column("key", pc.utf8_slice_codeunits(t["text"], 0, 30))
+
+    gated = ds.map_batches(gate, batch_format="pyarrow")
+    kept = D.exact_dedup_keep_first(
+        gated, key="key", n_shards=R.data_sized_shards(ds.count(), min_shards=32)
+    )
+    return R.partial_group_aggregate(
+        kept,
+        ["source"],
+        sums={"sum_tokens": "n_tokens", "sum_chars": "n_chars_q"},
+        count_as="n_docs",
+    )
+
+
 def q_simhash_pairs(sf_dir: str) -> Dataset:
     """SimHash near-dup pairs, hamming ≤ 10 (rows-only).
 
@@ -373,6 +419,7 @@ TEXT_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "corpus_prep": q_corpus_prep,
     "minhash_clusters": q_minhash_clusters,
     "minhash_clusters_distributed": q_minhash_clusters_distributed,
     "simhash_pairs": q_simhash_pairs,
@@ -454,6 +501,32 @@ TEXT_ORACLE_SQL = {
         JOIN sizes s2 ON co.right_id = s2.doc_id
         WHERE 2 * co.inter >= s1.n + s2.n - co.inter
     """,
+    "corpus_prep": r"""
+        WITH q AS (
+            SELECT doc_id, text, source,
+                   length(text) AS n_chars_q,
+                   length(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                   length(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   length(regexp_extract_all(lower(text), '{stop}')) AS n_stopwords
+            FROM documents
+        ), f AS (
+            SELECT * FROM q
+            WHERE n_tokens BETWEEN 15 AND 90
+              AND 2 * n_alpha >= n_chars_q
+              AND n_stopwords >= 1
+        ), d AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY substr(text, 1, 30) ORDER BY doc_id
+                ) AS rn
+                FROM f
+            ) WHERE rn = 1
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(SUM(n_chars_q) AS BIGINT) AS sum_chars
+        FROM d GROUP BY source
+    """.replace("{stop}", _STOP_SQL),
     "read_seeds": """
         SELECT r_name AS seed_id, 'query' AS pager,
                'http://forum.example/' || r_name AS blueprint_url,

@@ -165,19 +165,30 @@ BENCH_QUERIES = [
     # round-3 additions (new keys; earlier rounds' comparable set unchanged)
     "ngram_jaccard_pairs",
     "dedup_keep_first",
+    "corpus_prep",
 ]
 
 
-def run_queries(sf_dir: str) -> dict:
+def run_queries(sf_dir: str, repeats: int = 3) -> dict:
+    """Per-query wall time, median of ``repeats`` back-to-back runs.
+
+    This VM takes bursty CPU steal (/proc/stat steal: ~620 CPU-s in the
+    first 12 min of one session); identical code measured 2.7 s and
+    14.3 s for the same query 30 min apart. A single sample is the
+    noise, not the query — the median of three adjacent runs is stable.
+    """
     from bbcrawl_ray.pipelines.queries import QUERIES
 
     out = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        res = QUERIES[name](sf_dir)
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()  # consume the lazy pipeline
-        out[name] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            res = QUERIES[name](sf_dir)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()  # consume the lazy pipeline
+            times.append(round(time.perf_counter() - t0, 3))
+        out[name] = sorted(times)[len(times) // 2]
     return out
 
 
@@ -205,7 +216,13 @@ def main() -> None:
         with open(os.path.join(sf_dir, f"{name}.parquet"), "rb") as f:
             f.read()
 
-    crawl = crawl_workload(num_cpus)
+    # median of 3 timed runs: this VM's wall clock drifts ±20-50% over
+    # minutes (single-run r3 samples spanned 3.3-7.6 s on identical
+    # code), so one sample is noise, not a measurement; the first call
+    # also runs the untimed warmup
+    runs = [crawl_workload(num_cpus, warmup=(i == 0)) for i in range(3)]
+    crawl = sorted(runs, key=lambda r: r["wall_s"])[len(runs) // 2]
+    crawl["wall_s_runs"] = [r["wall_s"] for r in runs]
     discovery = discovery_workload(num_cpus)
     queries = run_queries(sf_dir)
     # metric name matches the value: wall-seconds of the headline crawl
