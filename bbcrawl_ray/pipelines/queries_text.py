@@ -281,6 +281,27 @@ def q_embedding_knn_ivf(sf_dir: str) -> pd.DataFrame:
     return knn_ivf(ds, Q, qids, k=5, n_cells=8, n_probe=3, cache_key=sf_dir)
 
 
+def q_knn_ivf_recall(sf_dir: str) -> pd.DataFrame:
+    """Recall@5 of the IVF-pruned kNN against the exact brute-force
+    answer, per query vector (rows-only: self-measuring quality gauge
+    for the approximate path). Both sides are tiny driver frames (q×k
+    rows); the heavy work is the two distributed scans they summarize.
+    At 100 TB this is the query you run on a sample to pick n_probe."""
+    Q, qids = _query_vectors(sf_dir)
+    ds = R.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = knn_brute(ds, Q, qids, k=5)
+    approx = knn_ivf(ds, Q, qids, k=5, n_cells=8, n_probe=3, cache_key=sf_dir)
+    rows = []
+    for qid in qids:
+        e = set(exact.loc[exact["query_id"] == qid, "neighbor_id"])
+        a = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
+        rows.append(
+            {"query_id": int(qid), "hits": len(e & a), "k": len(e),
+             "recall": len(e & a) / max(1, len(e))}
+        )
+    return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # multimodal (stubbed codec, real plumbing)
 
@@ -427,6 +448,7 @@ TEXT_QUERIES = {
     "embedding_pairs_exact": q_embedding_pairs_exact,
     "embedding_knn": q_embedding_knn,
     "embedding_knn_ivf": q_embedding_knn_ivf,
+    "knn_ivf_recall": q_knn_ivf_recall,
     "media_features": q_media_features,
     "crawl_documents": q_crawl_documents,
     "read_seeds": q_read_seeds,

@@ -70,3 +70,16 @@ def test_all_queries_have_callables():
     from bbcrawl_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
     assert set(ORACLE_SQL) <= set(QUERIES)
+
+
+def test_knn_ivf_recall_entry(ray_session, sf_dir):
+    """The self-measuring ANN gauge: recall@5 of IVF vs brute force is a
+    valid fraction per query, and with n_probe=3 of 8 cells on the tiny
+    corpus it should find at least some true neighbors overall."""
+    from bbcrawl_ray.pipelines.queries_text import q_knn_ivf_recall
+
+    df = q_knn_ivf_recall(sf_dir)
+    assert list(df.columns) == ["query_id", "hits", "k", "recall"]
+    assert len(df) == 5
+    assert ((df["recall"] >= 0) & (df["recall"] <= 1)).all()
+    assert df["hits"].sum() > 0
