@@ -511,3 +511,29 @@ def test_ivf_cache_rebuilds_on_changed_corpus(ray_session, tmp_path):
 
     assert sorted(r1["neighbor_id"]) == sorted(brute(X1))
     assert sorted(r2["neighbor_id"]) == sorted(brute(X2))
+
+
+def test_batch_signatures_match_scalar_path():
+    """minhash_signatures_batch (concat + reduceat) must equal the
+    per-doc minhash_signature(char_shingles(t)) reference exactly,
+    including empty and shorter-than-k texts."""
+    import numpy as np
+
+    from bbcrawl_ray.stages.dedup import (
+        char_shingles,
+        minhash_signature,
+        minhash_signatures_batch,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "ab",
+        "the quick brown fox jumps over the lazy cat",
+        "x" * 500,
+        "completely different content here with many words",
+    ]
+    batch = minhash_signatures_batch(texts)
+    for i, t in enumerate(texts):
+        ref = minhash_signature(char_shingles(t))
+        assert np.array_equal(batch[i], ref), f"doc {i} diverged"
