@@ -26,6 +26,60 @@ import tempfile
 import time
 
 
+def _set_worker_log_config() -> None:
+    """Point RAY_DATA_LOGGING_CONFIG at Ray Data's stock logging config
+    with the CONSOLE handler raised to ERROR, so WORKER-process chatter
+    (e.g. the harmless 'Failed to hash the schemas' WARNING that
+    ReadParquet tasks emit for parquet files carrying pandas metadata)
+    stays out of the bench tail. Nothing is hidden from the logs — the
+    per-session ray-data.log file handler keeps DEBUG and up; pytest
+    and ad-hoc runs don't set this. Must run BEFORE ray.init so workers
+    inherit the env var."""
+    import yaml
+
+    cfg = {
+        "version": 1,
+        "disable_existing_loggers": False,
+        "formatters": {
+            "ray": {
+                "format": "%(asctime)s\t%(levelname)s %(filename)s:%(lineno)s -- %(message)s"
+            }
+        },
+        "filters": {
+            "console_filter": {"()": "ray.data._internal.logging.HiddenRecordFilter"}
+        },
+        "handlers": {
+            "file": {
+                "class": "ray.data._internal.logging.SessionFileHandler",
+                "formatter": "ray",
+                "filename": "ray-data.log",
+            },
+            "console": {
+                "class": "ray._private.log.PlainRayHandler",
+                "formatter": "ray",
+                "level": "ERROR",
+                "filters": ["console_filter"],
+            },
+        },
+        "loggers": {
+            "ray.data": {
+                "level": "DEBUG",
+                "handlers": ["file", "console"],
+                "propagate": False,
+            },
+            "ray.air.util.tensor_extensions": {
+                "level": "DEBUG",
+                "handlers": ["file", "console"],
+                "propagate": False,
+            },
+        },
+    }
+    path = os.path.join(tempfile.gettempdir(), "bbray_ray_data_logging.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", path)
+
+
 def _quiet_ray_data_logs() -> None:
     """Keep the bench tail to the result line. The only WARNINGs ray.data
     emits on these pipelines are its own sort-machinery empty-partition
@@ -196,6 +250,7 @@ def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+    _set_worker_log_config()
     import ray
 
     if not ray.is_initialized():
@@ -322,6 +377,7 @@ def scaling() -> None:
 def main_crawl_only() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    _set_worker_log_config()
     import ray
 
     ray.init(
