@@ -206,28 +206,30 @@ _PAIR_CAP = 200  # per-bucket cap guards a degenerate bucket's O(n²) blowup
 
 
 def _shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Pairs for every ≥2-member bucket inside one hash shard — a pandas
-    groupby over the shard (vectorized), not a per-bucket UDF call.
+    """Pairs for every ≥2-member bucket inside one hash shard — fully
+    vectorized: singleton buckets (the overwhelming mass) die on one
+    grouped-size filter, survivors pair via a bucket-key self-merge.
+    No Python iteration over buckets — at web scale the band-row count
+    is docs × bands, and an interpreter loop over mostly-singleton
+    buckets was the shard stage's hot spot.
 
     Degenerate buckets (> _PAIR_CAP members) are truncated; the drop is
     LOGGED, never silent — truncated coverage must not read as full."""
     from ..functions.loglevels import get_logger
 
-    left, right = [], []
-    dropped_docs = 0
-    multi = g.groupby(["band_id", "band_hash"])["doc_id"]
-    for _, ids in multi:
-        if len(ids) < 2:
-            continue
-        u = np.sort(ids.unique())
-        if len(u) > _PAIR_CAP:
-            dropped_docs += len(u) - _PAIR_CAP
-            u = u[:_PAIR_CAP]
-        for i in range(len(u)):
-            for j in range(i + 1, len(u)):
-                left.append(u[i])
-                right.append(u[j])
+    key = ["band_id", "band_hash"]
+    g = g.drop_duplicates(key + ["doc_id"])
+    g = g[g.groupby(key)["doc_id"].transform("size") >= 2]
+    if len(g) == 0:
+        empty = np.empty(0, dtype=np.asarray(g["doc_id"]).dtype)
+        return pd.DataFrame({"left_id": empty, "right_id": empty})
+    # truncate degenerate buckets on doc_id rank (same order the old
+    # per-bucket path used: sorted unique ids, first _PAIR_CAP kept)
+    g = g.sort_values("doc_id", kind="mergesort")
+    rank = g.groupby(key).cumcount()
+    dropped_docs = int((rank >= _PAIR_CAP).sum())
     if dropped_docs:
+        g = g[rank < _PAIR_CAP]
         get_logger(__name__).warning(
             "minhash LSH: %d doc ids dropped from degenerate buckets "
             "(> %d members) in this shard — near-dup recall is partial "
@@ -235,7 +237,11 @@ def _shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
             dropped_docs,
             _PAIR_CAP,
         )
-    df = pd.DataFrame({"left_id": left, "right_id": right})
+    m = g[key + ["doc_id"]].merge(g[key + ["doc_id"]], on=key)
+    m = m[m["doc_id_x"] < m["doc_id_y"]]
+    df = m[["doc_id_x", "doc_id_y"]].rename(
+        columns={"doc_id_x": "left_id", "doc_id_y": "right_id"}
+    )
     return df.drop_duplicates()
 
 
