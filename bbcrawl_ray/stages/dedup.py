@@ -42,8 +42,10 @@ def exact_dedup(ds: Dataset, key: str = "text", id_col: str = "doc_id") -> Datas
     )
 
 
-def exact_dedup_keep_first(ds: Dataset, key: str = "text", n_shards: int = 256) -> Dataset:
-    """Keep the full first row (min doc_id) per distinct key.
+def exact_dedup_keep_first(
+    ds: Dataset, key: str = "text", id_col: str = "doc_id", n_shards: int = 256
+) -> Dataset:
+    """Keep the full first row (min ``id_col``) per distinct key.
 
     Per-block pre-dedup (at most one row per key per block survives),
     then ONE key-shard shuffle with a vectorized drop_duplicates per
@@ -52,12 +54,12 @@ def exact_dedup_keep_first(ds: Dataset, key: str = "text", n_shards: int = 256) 
     def local_first(g: pd.DataFrame) -> pd.DataFrame:
         from ..pipelines.relops import shard_of
 
-        g = g.sort_values("doc_id", kind="mergesort").drop_duplicates(key)
+        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(key)
         return g.assign(_shard=shard_of(g[key], n_shards))
 
     def first_in_shard(g: pd.DataFrame) -> pd.DataFrame:
         return (
-            g.sort_values("doc_id", kind="mergesort")
+            g.sort_values(id_col, kind="mergesort")
             .drop_duplicates(key)
             .drop(columns=["_shard"])
         )
