@@ -241,7 +241,15 @@ def _links_to_frontier(links: pa.Table, epoch: int, seed_hosts: set[str], same_h
         work = work.filter(
             pc.is_in(work["h"], value_set=pa.array(sorted(seed_hosts), pa.string()))
         )
-    work = work.group_by(["u"]).aggregate(
+    # DETERMINISTIC attribution: when one URL is offered by several
+    # seeds/pages in a batch, the winner is the lexicographically least
+    # (seed_id, from_url) offer — threaded group_by 'first' picks
+    # whichever chunk a worker scanned first, which varied run-to-run
+    # and leaked into checkpointed seed_id/discovered_from lineage.
+    work = work.sort_by(
+        [("u", "ascending"), ("s", "ascending"), ("f", "ascending")]
+    )
+    work = pa.TableGroupBy(work, ["u"], use_threads=False).aggregate(
         [("s", "first"), ("f", "first"), ("h", "first")]
     )
     urls = work["u"].to_pylist()

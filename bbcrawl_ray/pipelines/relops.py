@@ -315,6 +315,12 @@ def asof_join(
     the output never emit mixed-schema blocks (round-2 verdict #3).
     """
     if n_shards is None:
+        # materialize BOTH sides before sizing: Dataset.count() on
+        # derived lineage executes the whole upstream, and the tagged
+        # union below would execute it a second time — materialized
+        # blocks make the count free and are what the shuffle consumes
+        # anyway (object-store resident, spill-backed)
+        left, right = left.materialize(), right.materialize()
         n_shards = data_sized_shards(left.count() + right.count())
     value_cols = list(value_cols)
     right_key = right_key or key

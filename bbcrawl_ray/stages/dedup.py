@@ -166,17 +166,28 @@ def band_hashes(sigs: np.ndarray, bands: int = 16, rows_per_band: int = 4) -> np
 
 
 def _band_table(
-    ids, sigs: np.ndarray, bands: int, rpb: int, id_col: str = "doc_id"
+    ids: pa.Array | pa.ChunkedArray, sigs: np.ndarray, bands: int, rpb: int,
+    id_col: str = "doc_id",
 ) -> pa.Table:
-    """Exploded (doc_id, band_id, band_hash) rows for a whole batch."""
+    """Exploded (doc_id, band_id, band_hash) rows for a whole batch.
+
+    ``ids`` is the SOURCE Arrow column — repeated via ``take`` so the
+    output id type matches the input exactly for every id type (string,
+    int, ...) including empty batches (an inferred numpy repeat turned
+    empty string-id batches into int64 blocks the stream can't unify).
+    """
+    if sigs.shape[1] != bands * rpb:
+        raise ValueError(
+            f"banding needs bands*rows_per_band == signature width: "
+            f"{bands}x{rpb} != {sigs.shape[1]}"
+        )
     bh = band_hashes(sigs, bands, rpb)
     n = sigs.shape[0]
-    ids_arr = np.asarray(ids)
-    if n == 0 and ids_arr.dtype == np.float64:
-        ids_arr = ids_arr.astype(np.int64)  # empty batch: int64, not inferred-null
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
     return pa.table(
         {
-            id_col: pa.array(np.repeat(ids_arr, bands)),
+            id_col: ids.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))),
             "band_id": pa.array(
                 np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()
             ),
@@ -199,9 +210,10 @@ class MinHashStage:
         self.k, self.bands, self.rpb = k, bands, rows_per_band
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t[self.id_col].to_pylist()
         sigs = minhash_signatures_batch(t[self.text_col].to_pylist(), self.k)
-        return _band_table(ids, sigs[:, : self.bands * self.rpb], self.bands, self.rpb)
+        return _band_table(
+            t[self.id_col], sigs[:, : self.bands * self.rpb], self.bands, self.rpb
+        )
 
 
 _PAIR_CAP = 200  # per-bucket cap guards a degenerate bucket's O(n²) blowup
@@ -252,12 +264,12 @@ def band_rows_from_sigs(
 ) -> pa.Table:
     """(id, sig bytes) → exploded (doc_id, band_id, band_hash) rows —
     banding needs only the signature, never the text."""
-    ids = t[id_col].to_pylist()
     n = t.num_rows
     if n == 0:
-        return _band_table([], np.empty((0, bands * rows_per_band), np.uint64), bands, rows_per_band)
-    sigs = np.frombuffer(b"".join(t["sig"].to_pylist()), dtype=np.uint64).reshape(n, -1)
-    return _band_table(ids, sigs[:, : bands * rows_per_band], bands, rows_per_band)
+        sigs = np.empty((0, bands * rows_per_band), np.uint64)
+    else:
+        sigs = np.frombuffer(b"".join(t["sig"].to_pylist()), dtype=np.uint64).reshape(n, -1)
+    return _band_table(t[id_col], sigs[:, : bands * rows_per_band], bands, rows_per_band)
 
 
 def minhash_candidates(
@@ -345,16 +357,19 @@ def _join_partitions(requested: int | None = None, rows: int | None = None) -> i
     on a 4-CPU test cluster starve the map stages (near-deadlock), and
     16 partitions for a few-hundred-row label table is pure startup
     overhead. With a KNOWN row count the fan-out targets ~100k
-    rows/partition up to the cluster's CPU count (so per-partition input
-    stays bounded on big clusters instead of growing past a fixed 16);
-    with an unknown count it stays at the conservative min(16, cpus)."""
+    rows/partition up to ~3/4 of the cluster's CPUs — the remaining
+    quarter is HEADROOM for the map stages feeding the shuffle
+    (aggregators == cpus is exactly the starvation the small-cluster
+    clamp exists for, reappearing at the top end); with an unknown
+    count it stays at the conservative min(16, cpus)."""
     import ray
 
     if requested is not None:
         return requested
     cpus = int(ray.cluster_resources().get("CPU", 8))
     if rows is not None:
-        return max(2, min(max(2, cpus), -(-rows // 100_000)))
+        cap = min(max(2, cpus), max(16, (cpus * 3) // 4))
+        return max(2, min(cap, -(-rows // 100_000)))
     return max(2, min(16, cpus))
 
 
@@ -838,7 +853,6 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (inverted-index join)
 
-_NG_C = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F), np.uint64(0x165667B19E3779F9))
 
 
 def ngram_jaccard_pairs(
@@ -895,9 +909,17 @@ def ngram_jaccard_pairs(
                     id_col: pa.array([], t[id_col].type),
                 }
             )
+        # position-distinct polynomial combine (Σ th_j · B^(n-1-j) mod
+        # 2^64, like char_shingles): valid for ANY n. A fixed cycle of
+        # XORed constants cancelled symmetric windows for n ≥ 4 —
+        # ('x b c x' vs 'y b c y' hashed equal because positions 0 and
+        # 3 shared a constant and XOR annihilated them.
+        pows = np.ones(n, dtype=np.uint64)
+        for j in range(1, n):
+            pows[j] = pows[j - 1] * _SHINGLE_BASE  # uint64 wrap-around
         gram = np.zeros(len(th) - n + 1, dtype=np.uint64)
         for j in range(n):
-            gram ^= th[j : len(th) - n + 1 + j] * _NG_C[j % len(_NG_C)]
+            gram += th[j : len(th) - n + 1 + j] * pows[n - 1 - j]
         valid = parents[: len(gram)] == parents[n - 1 :]
         doc_idx = parents[: len(gram)][valid]
         df = pd.DataFrame({"g": gram[valid], "_i": doc_idx}).drop_duplicates()

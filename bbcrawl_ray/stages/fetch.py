@@ -152,10 +152,24 @@ class Fetcher:
             # so RPCs per batch ≈ distinct hosts, not rows. By the time
             # this runs, robots is cached (fetch_one checks robots
             # first), so the delay is final for the host.
+            slot = None
             slots = self._batch_slots.get(host)
             if slots:
                 slot = slots.pop(0)
-            else:
+                if slot < time.time() - 0.01:
+                    # STALE prereservation: this worker drifted behind its
+                    # slot schedule (fetches ran longer than the delay).
+                    # Firing a past slot now would compress the gap to the
+                    # next on-time fire — possibly another worker's, whose
+                    # reservations sit after our window — below `delay`.
+                    # Resynchronize: abandon the remaining prereserved
+                    # slots and re-batch this host's remaining rows from
+                    # the LIVE clock. The abandoned slots stay burned on
+                    # the clock (extra politeness, never a violation);
+                    # on-time workers keep one-RPC-per-host batching.
+                    self._batch_slots.pop(host, None)
+                    slot = None
+            if slot is None:
                 n = 1 + self._batch_remaining.get(host, 0)
                 first = self.cfg.clock.reserve(host, delay, n)
                 if n > 1:

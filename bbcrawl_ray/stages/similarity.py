@@ -290,25 +290,40 @@ def knn_ivf(
                 )
             if cache_key is not None:
                 # ATOMIC publish into the SHARED deterministic cache dir:
-                # build in a unique sibling, then one rename — a
-                # concurrent process can never probe a half-built index
-                # or rmtree one mid-build (the old meta.json-written-last
-                # ordering left both windows open)
+                # build in a unique sibling, take the tag's flock, and
+                # swap with renames only. The canonical path always
+                # points at nothing or a VALID index; a stale index is
+                # moved ASIDE (atomic), never rmtree'd in place — a
+                # process whose staleness check predates another's
+                # publish can therefore never delete the live winner,
+                # and in-flight probes keep reading the intact aside
+                # dir. Aside dirs are reaped lazily once old.
+                import fcntl
+                import glob as _glob
+                import time as _time
+
                 parent = os.path.dirname(index_dir)
                 os.makedirs(parent, exist_ok=True)
                 tmp = tempfile.mkdtemp(prefix=".ivf_build_", dir=parent)
                 build_ivf_index(
                     ds, tmp, n_cells, id_col=id_col, vec_col=vec_col, sample_rows=sample_rows
                 )
-                shutil.rmtree(index_dir, ignore_errors=True)
-                try:
-                    os.rename(tmp, index_dir)
-                except OSError:
-                    # lost the publish race — the winner's index is
-                    # equivalent (same cache key ⇒ same params/data)
-                    shutil.rmtree(tmp, ignore_errors=True)
-                    if not _index_valid():
-                        raise
+                with open(index_dir + ".lock", "w") as lf:
+                    fcntl.flock(lf, fcntl.LOCK_EX)
+                    if _index_valid():
+                        # someone equivalent published while we built
+                        shutil.rmtree(tmp, ignore_errors=True)
+                    else:
+                        if os.path.isdir(index_dir):
+                            aside = f"{index_dir}.stale-{os.getpid()}-{_time.time_ns()}"
+                            os.rename(index_dir, aside)
+                        os.rename(tmp, index_dir)
+                for aside in _glob.glob(index_dir + ".stale-*"):
+                    try:
+                        if _time.time() - os.path.getmtime(aside) > 600:
+                            shutil.rmtree(aside, ignore_errors=True)
+                    except OSError:
+                        pass
             else:
                 if os.path.isdir(index_dir) and os.listdir(index_dir):
                     shutil.rmtree(index_dir, ignore_errors=True)

@@ -537,3 +537,50 @@ def test_batch_signatures_match_scalar_path():
     for i, t in enumerate(texts):
         ref = minhash_signature(char_shingles(t))
         assert np.array_equal(batch[i], ref), f"doc {i} diverged"
+
+
+def test_ngram_hash_no_symmetric_window_collision(ray_session):
+    """4-gram windows that mirror their end tokens ('x b c x' vs
+    'y b c y') must NOT hash equal — a fixed cycle of XORed position
+    constants cancelled them and reported disjoint docs as exact
+    duplicates at n=4."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bbcrawl_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["x b c x", "y b c y"],
+        }
+    )
+    out = ngram_jaccard_pairs(
+        rd.from_pandas(docs), n=4, threshold_num=1, threshold_den=100
+    ).to_pandas()
+    # the two docs share NO 4-gram; even at a 1% threshold no pair may
+    # surface
+    assert len(out) == 0
+
+
+def test_band_table_preserves_string_ids_and_rejects_bad_banding(ray_session):
+    """String-id corpora band with string doc_ids (including EMPTY
+    batches — an inferred numpy repeat used to emit int64 empty blocks
+    the stream can't unify), and an over-wide banding config raises a
+    clear error instead of a reshape crash."""
+    import pyarrow as pa
+    import pytest
+
+    from bbcrawl_ray.stages.dedup import MinHashStage, _band_table
+    import numpy as np
+
+    stage = MinHashStage(id_col="doc_id", text_col="text")
+    full = pa.table({"doc_id": pa.array(["a", "b"]), "text": pa.array(["xx yy zz ww", "xx yy zz wv"])})
+    empty = full.slice(0, 0)
+    out_full, out_empty = stage(full), stage(empty)
+    assert out_full["doc_id"].type == pa.string()
+    assert out_empty["doc_id"].type == pa.string()
+    assert out_empty.num_rows == 0
+
+    with pytest.raises(ValueError, match="rows_per_band"):
+        _band_table(full["doc_id"], np.zeros((2, 64), np.uint64), bands=20, rpb=4)

@@ -464,3 +464,46 @@ def test_budget_frontier_bounded_groups(ray_session):
     max_group = ray.get(probe.max_seen.remote())
     assert max_group <= budget * n_blocks  # bounded, not the whole host
     assert max_group < n  # strictly smaller than the hot host's rows
+
+
+def test_fetch_resyncs_stale_prereserved_slots(ray_session):
+    """A worker that drifts behind its prereserved slot schedule (slow
+    fetches) must NOT fire the stale past slots back-to-back — it
+    abandons them and re-batches the host's remaining rows from the
+    live clock, so the global min-delay spacing survives drift."""
+    import time as _time
+
+    import pyarrow as pa
+
+    from bbcrawl_ray.stages.fetch import FetchConfig, Fetcher
+
+    class DriftClock:
+        """First reserve hands out a schedule 10 s in the past (as if
+        the worker fell far behind it); later reserves answer live."""
+
+        def __init__(self):
+            self.calls = []
+
+        def reserve(self, host, delay, n=1):
+            self.calls.append((host, delay, n))
+            if len(self.calls) == 1:
+                return _time.time() - 10.0
+            return _time.time()
+
+    clock = DriftClock()
+    f = Fetcher(FetchConfig(min_host_delay_s=0.001, clock=clock))
+    n_rows = 4
+    batch = pa.table(
+        {
+            "url": pa.array([f"http://a.example/t?page={i}" for i in range(n_rows)]),
+            "host": pa.array(["a.example"] * n_rows),
+            "seed_id": pa.array(["s"] * n_rows),
+            "page_num": pa.array(range(n_rows), pa.int64()),
+        }
+    )
+    out = f(batch)
+    assert out.num_rows == n_rows
+    # call 1: the full-batch reservation (stale). Row 2 pops a stale slot
+    # and re-batches the remaining 3 rows in ONE live call — not one RPC
+    # per row, and never a silent fire on the stale schedule.
+    assert [(h, n) for h, _, n in clock.calls] == [("a.example", 4), ("a.example", 3)]
