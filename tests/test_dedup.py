@@ -584,3 +584,37 @@ def test_band_table_preserves_string_ids_and_rejects_bad_banding(ray_session):
 
     with pytest.raises(ValueError, match="rows_per_band"):
         _band_table(full["doc_id"], np.zeros((2, 64), np.uint64), bands=20, rpb=4)
+
+
+def test_minhash_exact_collapse_parity(ray_session):
+    """collapse_exact=True (unique-representative pipeline + expansion)
+    must produce EXACTLY the clusters of the uncollapsed pipeline on a
+    corpus mixing exact clones, near-dups and uniques."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bbcrawl_ray.stages.dedup import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and then naps in the warm sun"
+    rows = []
+    # 5 exact-clone families of 4
+    for f in range(5):
+        for c in range(4):
+            rows.append((f * 10 + c, f"family {f}: {base} variant text body"))
+    # near-dup pair bridging two clone families' texts
+    rows.append((100, f"family 0: {base} variant text body!!"))
+    # uniques
+    for u in range(6):
+        rows.append((200 + u, f"completely unrelated document {u} " + "z" * (20 + u)))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    a = (
+        minhash_dedup(rd.from_pandas(df), threshold=0.5, collapse_exact=False)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        minhash_dedup(rd.from_pandas(df), threshold=0.5, collapse_exact=True)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) > 0

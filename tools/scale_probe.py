@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Dedup scale probe: run the near-dup suite on a corpus 10x the bench
+scale with a 10x duplication rate.
+
+Builds a 50k-doc corpus by cloning sf0.1's 5k documents ten times with
+distinct doc_ids (every text has exactly 10 copies), which drives the
+candidate-pair count past the broadcast/driver gates so the JOIN verify
+tier and distributed label-propagation CC run — the paths a web-scale
+dup rate exercises. Prints one JSON line with wall times + result
+sanity (every 10-clone set must land in one cluster).
+
+Usage: python tools/scale_probe.py  [RAY_GRAFT_CPUS=32]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    import pandas as pd
+
+    from bbcrawl_ray.pipelines.relops import read_table
+    from bbcrawl_ray.stages import dedup as D
+
+    sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    base = read_table(sf, "documents", columns=["doc_id", "text"]).to_pandas()
+    n_base = len(base)
+    clones = pd.concat(
+        [base.assign(doc_id=base["doc_id"] + i * n_base) for i in range(10)],
+        ignore_index=True,
+    )
+    ds = rd.from_pandas(clones).repartition(64).materialize()
+    out: dict = {"n_docs": len(clones), "n_base": n_base}
+
+    t0 = time.perf_counter()
+    exact = D.exact_dedup(
+        ds.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("text"), "text", t["text"]
+            ),
+            batch_format="pyarrow",
+        ),
+        key="text",
+    ).to_pandas()
+    out["exact_s"] = round(time.perf_counter() - t0, 2)
+    out["exact_groups"] = len(exact)
+    assert (exact["dup_count"] >= 10).all(), "every text has 10 clones"
+
+    t0 = time.perf_counter()
+    clusters = D.minhash_dedup(ds, threshold=0.5).to_pandas()
+    out["minhash_gated_s"] = round(time.perf_counter() - t0, 2)
+    out["minhash_rows"] = len(clusters)
+    # sanity: the 10 clones of any base doc share a cluster
+    cl = clusters.set_index("doc_id")["cluster_id"]
+    probe_ids = base["doc_id"].iloc[:50]
+    for d in probe_ids:
+        cids = {cl.get(d + i * n_base) for i in range(10)}
+        cids.discard(None)
+        assert len(cids) <= 1, f"clone set of {d} split across clusters: {cids}"
+
+    t0 = time.perf_counter()
+    dist = D.minhash_dedup(
+        ds, threshold=0.5, broadcast_gates=False, cc_driver_gate=None
+    ).to_pandas()
+    out["minhash_distributed_s"] = round(time.perf_counter() - t0, 2)
+    assert len(dist) == len(clusters), "gated vs distributed row-count parity"
+
+    t0 = time.perf_counter()
+    sh = D.simhash_near_dup(ds, max_hamming=10).to_pandas()
+    out["simhash_s"] = round(time.perf_counter() - t0, 2)
+    out["simhash_pairs"] = len(sh)
+
+    t0 = time.perf_counter()
+    ng = D.ngram_jaccard_pairs(ds, n=3, threshold_num=1, threshold_den=2).to_pandas()
+    out["ngram_s"] = round(time.perf_counter() - t0, 2)
+    out["ngram_pairs"] = len(ng)
+
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
