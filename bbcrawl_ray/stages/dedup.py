@@ -387,8 +387,9 @@ def _compact_blocks(ds: Dataset) -> Dataset:
     refs = mat.to_arrow_refs()
 
     @ray.remote(num_cpus=0)
-    def _nrows(t: pa.Table) -> int:
-        return t.num_rows
+    def _nrows(t) -> int:
+        # blocks can be Arrow tables OR pandas frames (map_groups output)
+        return t.num_rows if hasattr(t, "num_rows") else len(t)
 
     keep = [r for r, n in zip(refs, ray.get([_nrows.remote(r) for r in refs])) if n > 0]
     if not keep:
@@ -812,6 +813,14 @@ def cluster_propagate(
     return out.select_columns(["doc_id", "cluster_id"])
 
 
+def _as_pa_type(schema, col: str) -> pa.DataType:
+    """Arrow type of ``col`` in a Ray Dataset schema (normalizes the
+    numpy dtypes pandas-block schemas report)."""
+    from ..pipelines.relops import _as_arrow_type
+
+    return _as_arrow_type(schema.types[list(schema.names).index(col)])
+
+
 def _content_key128(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """Two independent 64-bit content hashes per text (128 bits total:
     a 64-bit key alone birthday-collides around 2^32 docs, which a
@@ -975,7 +984,7 @@ def minhash_dedup(
 
 
 
-def ngram_jaccard_pairs(
+def _ngram_pairs_core(
     ds: Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -984,14 +993,9 @@ def ngram_jaccard_pairs(
     threshold_den: int = 2,
     n_shards: int | None = None,
     sizes_broadcast_bytes: int = 64 << 20,
-) -> Dataset:
-    """EXACT word-n-gram Jaccard near-dup pairs (unlike minhash/simhash,
-    no approximation): all pairs with jaccard >= threshold_num/threshold_den
-    over their DISTINCT word n-gram sets, as integer-only columns
-    (left_id, right_id, inter, union_n) so the result value-hashes
-    exactly against a SQL oracle.
-
-    Inverted-index composition (the classic exact-jaccard scale shape):
+) -> tuple[Dataset, Dataset]:
+    """Inverted-index exact-jaccard core over the given corpus — returns
+    (pairs, per-doc distinct-gram sizes). See ``ngram_jaccard_pairs``.
 
     1. tokenize via Arrow split/flatten, hash tokens once, combine
        per-window into 64-bit gram hashes — all vectorized, the window
@@ -1004,9 +1008,6 @@ def ngram_jaccard_pairs(
     5. per-doc set sizes meet the pair stream by broadcast under an
        ABSOLUTE byte gate (16 B/doc), hash-join above it; the integer
        filter ``den*inter >= num*(|A|+|B|-inter)`` avoids float compare.
-
-    Hash collisions merging two grams are ~2^-64 per pair — exactness
-    is modulo that, like every hashed-shingle implementation.
     """
     import ray
 
@@ -1143,7 +1144,7 @@ def ngram_jaccard_pairs(
                 }
             )
 
-        return pairs.map_batches(finish, batch_format="pyarrow")
+        return pairs.map_batches(finish, batch_format="pyarrow"), sizes
 
     # join path: sizes meet pairs twice by hash partition
     nparts = _join_partitions(rows=n_docs)
@@ -1171,7 +1172,158 @@ def ngram_jaccard_pairs(
             }
         )
 
-    return j.map_batches(finish_join, batch_format="pyarrow")
+    return j.map_batches(finish_join, batch_format="pyarrow"), sizes
+
+
+def ngram_jaccard_pairs(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    n_shards: int | None = None,
+    sizes_broadcast_bytes: int = 64 << 20,
+    collapse_exact: bool = True,
+) -> Dataset:
+    """EXACT word-n-gram Jaccard near-dup pairs (unlike minhash/simhash,
+    no approximation): all pairs with jaccard >= threshold_num/threshold_den
+    over their DISTINCT word n-gram sets, as integer-only columns
+    (left_id, right_id, inter, union_n) so the result value-hashes
+    exactly against a SQL oracle.
+
+    ``collapse_exact`` (default on) collapses identical texts to their
+    min-id representative first and runs the inverted index over unique
+    texts only — every gram's document frequency (and therefore the
+    O(df²) pair expansion) would otherwise scale with the exact-dup
+    rate, the dominant duplication mode in web corpora. Member pairs
+    are reconstructed exactly afterwards: a cross-group member pair
+    inherits its rep pair's (inter, union_n) — identical texts have
+    identical gram sets — and same-group members pair with
+    jaccard 1 (inter = union = the group's gram count; groups whose
+    text yields zero grams emit nothing, matching the uncollapsed
+    pipeline). Requires threshold_num <= threshold_den.
+
+    Hash collisions merging two grams are ~2^-64 per pair — exactness
+    is modulo that, like every hashed-shingle implementation.
+    """
+    core_kw = dict(
+        id_col=id_col, text_col=text_col, n=n,
+        threshold_num=threshold_num, threshold_den=threshold_den,
+        n_shards=n_shards, sizes_broadcast_bytes=sizes_broadcast_bytes,
+    )
+    if not collapse_exact:
+        return _ngram_pairs_core(ds, **core_kw)[0]
+
+    from ..pipelines.relops import shard_of
+
+    mapping = _compact_blocks(
+        exact_collapse(ds.select_columns([id_col, text_col]), id_col, text_col)
+    )
+    reps = mapping.map_batches(
+        lambda t: t.filter(pc.equal(t[id_col], t["rep_id"])).select([id_col, text_col]),
+        batch_format="pyarrow",
+    )
+    rep_pairs, rep_sizes = _ngram_pairs_core(reps, **core_kw)
+
+    import ray.data as rd
+
+    n_map = mapping.count()
+    nparts = _join_partitions(rows=n_map)
+    id_type = _as_pa_type(mapping.schema(), id_col)
+    parts: list[Dataset] = []
+
+    rp = _compact_blocks(rep_pairs)
+    if rp.count() > 0:
+        ml = _rename(
+            mapping.select_columns([id_col, "rep_id"]),
+            {id_col: "left_doc", "rep_id": "left_id"}, [id_col, "rep_id"],
+        )
+        mr = _rename(
+            mapping.select_columns([id_col, "rep_id"]),
+            {id_col: "right_doc", "rep_id": "right_id"}, [id_col, "rep_id"],
+        )
+        e1 = _compact_blocks(
+            rp.join(ml, join_type="inner", num_partitions=nparts, on=("left_id",))
+        )
+        e = _compact_blocks(
+            e1.join(mr, join_type="inner", num_partitions=nparts, on=("right_id",))
+        )
+
+        def orient(t: pa.Table) -> pa.Table:
+            # reps satisfy left<right but their members need not —
+            # orient each member pair (min, max)
+            lo = pc.min_element_wise(t["left_doc"], t["right_doc"])
+            hi = pc.max_element_wise(t["left_doc"], t["right_doc"])
+            return pa.table(
+                {
+                    "left_id": pc.cast(lo, id_type),
+                    "right_id": pc.cast(hi, id_type),
+                    "inter": pc.cast(t["inter"], pa.int64()),
+                    "union_n": pc.cast(t["union_n"], pa.int64()),
+                }
+            )
+
+        parts.append(e.map_batches(orient, batch_format="pyarrow"))
+
+    # same-group pairs: every member pair of a >=2 group whose rep HAS
+    # grams is an exact duplicate (inter = union = rep gram count)
+    szs = _compact_blocks(
+        _rename(rep_sizes, {id_col: "rep_id", "n_grams": "_ng"}, [id_col, "n_grams"])
+    )
+    multi = _compact_blocks(
+        mapping.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["group_n"], 2)).select(
+                [id_col, "rep_id"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    ib = None
+    if multi.count() > 0 and szs.count() > 0:
+        ib = _compact_blocks(
+            multi.join(szs, join_type="inner", num_partitions=nparts, on=("rep_id",))
+        )
+    if ib is not None and ib.count() > 0:
+
+        def shard_by_rep(t: pa.Table) -> pa.Table:
+            s = shard_of(t["rep_id"].to_pandas(), 256).to_numpy()
+            return t.append_column("_shard", pa.array(s, pa.int64()))
+
+        def intra_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            m = g[[id_col, "rep_id", "_ng"]].merge(
+                g[[id_col, "rep_id"]], on="rep_id"
+            )
+            m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+            return pd.DataFrame(
+                {
+                    "left_id": m[f"{id_col}_x"].to_numpy(),
+                    "right_id": m[f"{id_col}_y"].to_numpy(),
+                    "inter": m["_ng"].astype("int64").to_numpy(),
+                    "union_n": m["_ng"].astype("int64").to_numpy(),
+                }
+            )
+
+        parts.append(
+            ib.map_batches(shard_by_rep, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(intra_pairs, batch_format="pandas")
+        )
+
+    if not parts:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "left_id": pa.array([], id_type),
+                    "right_id": pa.array([], id_type),
+                    "inter": pa.array([], pa.int64()),
+                    "union_n": pa.array([], pa.int64()),
+                }
+            )
+        )
+    # no trailing compaction: empty schema-less blocks only break JOINS,
+    # and the pair stream ends here (consumers scan/collect it)
+    return parts[0] if len(parts) == 1 else parts[0].union(parts[1])
 
 
 # ---------------------------------------------------------------------------

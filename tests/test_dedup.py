@@ -618,3 +618,36 @@ def test_minhash_exact_collapse_parity(ray_session):
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert len(a) > 0
+
+
+def test_ngram_exact_collapse_parity(ray_session):
+    """ngram_jaccard_pairs with the exact-collapse stage must emit the
+    IDENTICAL pair set (ids, inter, union_n) as the uncollapsed
+    pipeline on a corpus with clone groups, near-dups, uniques, and a
+    clone group whose text yields zero grams."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bbcrawl_ray.stages.dedup import ngram_jaccard_pairs
+
+    rows = []
+    for c in range(3):  # clone family A (has grams)
+        rows.append((10 + c, "alpha beta gamma delta epsilon zeta"))
+    for c in range(2):  # clone family B, near-dup of A
+        rows.append((20 + c, "alpha beta gamma delta epsilon eta"))
+    rows.append((30, "totally different words here now"))
+    for c in range(2):  # clone family with <n tokens -> zero grams
+        rows.append((40 + c, "too short"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    def run(collapse):
+        out = ngram_jaccard_pairs(
+            rd.from_pandas(df), n=3, threshold_num=1, threshold_den=2,
+            collapse_exact=collapse,
+        ).to_pandas()
+        return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+
+    a, b = run(False), run(True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # clone family A alone contributes C(3,2)=3 exact pairs
+    assert len(a) >= 3
