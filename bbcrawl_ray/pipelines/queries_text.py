@@ -125,9 +125,9 @@ def q_minhash_clusters_distributed(sf_dir: str) -> pd.DataFrame:
     instead of only pytest. Must produce the same clusters as the gated
     variant (parity-pinned in tests/test_dedup.py)."""
     ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = D.minhash_dedup(
-        ds, threshold=0.5, broadcast_gates=False, cc_driver_gate=None
-    ).to_pandas()
+    out = R.to_pandas_schema_safe(
+        D.minhash_dedup(ds, threshold=0.5, broadcast_gates=False, cc_driver_gate=None)
+    )
     return out.sort_values(["doc_id"]).reset_index(drop=True)
 
 
@@ -135,7 +135,7 @@ def q_minhash_clusters(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup clusters (rows-only). Fully distributed
     pipeline; the small (doc_id, cluster_id) result collects at the end."""
     ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = D.minhash_dedup(ds, threshold=0.5).to_pandas()
+    out = R.to_pandas_schema_safe(D.minhash_dedup(ds, threshold=0.5))
     return out.sort_values(["doc_id"]).reset_index(drop=True)
 
 

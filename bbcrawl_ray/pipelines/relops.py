@@ -457,6 +457,28 @@ def cast_columns(ds: Dataset, types: dict[str, pa.DataType]) -> Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def to_pandas_schema_safe(ds: Dataset) -> pd.DataFrame:
+    """``Dataset.to_pandas()`` that keeps the SCHEMA on empty results.
+
+    Ray 2.49's ``to_pandas`` returns a zero-COLUMN frame for zero-row
+    datasets even when ``ds.schema()`` is fully typed, so callers that
+    sort or index by column crash on legitimately-empty answers (e.g. a
+    duplicate-free corpus through a dedup pipeline)."""
+    df = ds.to_pandas()
+    if len(df.columns) == 0:
+        sch = ds.schema()
+        if sch is not None:
+            df = pd.DataFrame(
+                {
+                    n: pd.Series(
+                        [], dtype=np.dtype(_as_arrow_type(t).to_pandas_dtype())
+                    )
+                    for n, t in zip(sch.names, sch.types)
+                }
+            )
+    return df
+
+
 def collect_column(ds: Dataset, col: str) -> np.ndarray:
     """Materialize one column of a SMALL dataset on the driver."""
     parts = [b[col].to_numpy(zero_copy_only=False) for b in ds.iter_batches(batch_format="pyarrow")]

@@ -845,21 +845,33 @@ def _content_key128(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
 
 
 def exact_collapse(
-    ds: Dataset, id_col: str = "doc_id", text_col: str = "text", n_shards: int = 256
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
+    n_shards: int | None = None,
 ) -> Dataset:
     """(id, text) → one row per doc: (id, rep = min id with identical
-    text, group size, text ONLY on representative rows).
+    text, group size, has_content flag, text ONLY on representative
+    rows).
 
     One key-shard shuffle (texts cross the wire once); per shard the
     rep and size come from vectorized grouped transforms. Derive the
     unique-representative corpus with ``filter(id == rep)`` and the
     doc→rep mapping with a column select — both from the SAME pass.
+    ``n_shards`` defaults to a DATA-SIZED count (~100k text rows per
+    shard group, ≈100 MB of typical documents): this shuffle carries
+    the full text payload, so a fixed count is a worker-OOM cliff at
+    scale.
     """
-    from ..pipelines.relops import shard_of
+    from ..pipelines.relops import data_sized_shards, shard_of
+
+    docs = ds.select_columns([id_col, text_col])
+    if n_shards is None:
+        docs = docs.materialize()
+        n_shards = data_sized_shards(docs.count(), target_rows=100_000, min_shards=32)
+    shards = n_shards
 
     def key_batch(t: pa.Table) -> pa.Table:
         ck1, ck2 = _content_key128(t[text_col].to_pylist())
-        shard = (ck1 % np.uint64(n_shards)).astype(np.int32)
+        shard = (ck1 % np.uint64(shards)).astype(np.int32)
         return pa.table(
             {
                 id_col: t[id_col],
@@ -872,15 +884,21 @@ def exact_collapse(
 
     def collapse_shard(g: pd.DataFrame) -> pd.DataFrame:
         grp = g.groupby(["_ck1", "_ck2"])[id_col]
-        g = g.assign(rep_id=grp.transform("min"), group_n=grp.transform("size"))
+        g = g.assign(
+            rep_id=grp.transform("min"),
+            group_n=grp.transform("size"),
+            # identical texts share emptiness, so the per-row flag IS
+            # the group/rep flag; consumers use it to keep empty-text
+            # groups out of trivial-duplicate expansion (empty shingle
+            # sets never verify as pairs in the uncollapsed pipeline)
+            has_content=g[text_col] != "",
+        )
         # drop the text payload for non-representative rows — the rep
         # carries the one copy downstream stages shingle
         g.loc[g[id_col] != g["rep_id"], text_col] = ""
         return g.drop(columns=["_ck1", "_ck2", "_shard"])
 
-    keyed = ds.select_columns([id_col, text_col]).map_batches(
-        key_batch, batch_format="pyarrow"
-    )
+    keyed = docs.map_batches(key_batch, batch_format="pyarrow")
     return keyed.groupby("_shard").map_groups(collapse_shard, batch_format="pandas")
 
 
@@ -950,28 +968,61 @@ def minhash_dedup(
         return labels
 
     # EXPANSION: docs rejoin through (doc -> rep): a rep's label covers
-    # its members; an unlabeled rep with group_n >= 2 is itself a
-    # cluster (identical texts always clear any jaccard threshold). A
-    # doc can satisfy both — grouped Min keeps the smaller label (the
-    # CC label is <= rep id by construction).
+    # its members; an unlabeled rep with group_n >= 2 AND non-empty text
+    # is itself a cluster (identical non-empty texts always clear any
+    # jaccard threshold; empty-text groups are excluded because empty
+    # shingle sets never verify as pairs in the uncollapsed pipeline).
+    # A doc can satisfy both — grouped Min keeps the smaller label (the
+    # CC label is <= rep id by construction). Every branch is guarded
+    # against emptiness: empty join inputs carry schema-less blocks,
+    # and a duplicate-free corpus must return a TYPED empty result.
+    import ray.data as rd
+
+    id_type = _as_pa_type(mapping.schema(), id_col)
     rep_labels = _compact_blocks(
         _rename(labels, {"doc_id": "rep_id"}, ["doc_id", "cluster_id"])
     )
-    pairs_map = mapping.select_columns([id_col, "rep_id", "group_n"])
+    pairs_map = mapping.select_columns([id_col, "rep_id", "group_n", "has_content"])
     n_map = mapping.count()
-    joined = pairs_map.join(
-        rep_labels,
-        join_type="inner",
-        num_partitions=_join_partitions(rows=n_map),
-        on=("rep_id",),
-    ).select_columns([id_col, "cluster_id"])
-    exact_only = pairs_map.filter(expr="group_n >= 2").map_batches(
-        lambda t: pa.table(
-            {id_col: t[id_col], "cluster_id": pc.cast(t["rep_id"], t[id_col].type)}
-        ),
-        batch_format="pyarrow",
+    parts: list[Dataset] = []
+    if rep_labels.count() > 0:
+        parts.append(
+            pairs_map.join(
+                rep_labels,
+                join_type="inner",
+                num_partitions=_join_partitions(rows=n_map),
+                on=("rep_id",),
+            ).select_columns([id_col, "cluster_id"])
+        )
+    exact_only = _compact_blocks(
+        pairs_map.map_batches(
+            lambda t: (
+                lambda f: pa.table(
+                    {
+                        id_col: f[id_col],
+                        "cluster_id": pc.cast(f["rep_id"], id_type),
+                    }
+                )
+            )(
+                t.filter(
+                    pc.and_(pc.greater_equal(t["group_n"], 2), t["has_content"])
+                )
+            ),
+            batch_format="pyarrow",
+        )
     )
-    both = _compact_blocks(joined.union(exact_only))
+    if exact_only.count() > 0:
+        parts.append(exact_only)
+    if not parts:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    "cluster_id": pa.array([], id_type),
+                }
+            )
+        )
+    both = _compact_blocks(parts[0] if len(parts) == 1 else parts[0].union(parts[1]))
     return (
         both.groupby(id_col)
         .aggregate(_Min("cluster_id", alias_name="cluster_id"))
@@ -1286,8 +1337,12 @@ def ngram_jaccard_pairs(
         )
     if ib is not None and ib.count() > 0:
 
+        from ..pipelines.relops import data_sized_shards
+
+        rep_shards = data_sized_shards(n_map)
+
         def shard_by_rep(t: pa.Table) -> pa.Table:
-            s = shard_of(t["rep_id"].to_pandas(), 256).to_numpy()
+            s = shard_of(t["rep_id"].to_pandas(), rep_shards).to_numpy()
             return t.append_column("_shard", pa.array(s, pa.int64()))
 
         def intra_pairs(g: pd.DataFrame) -> pd.DataFrame:

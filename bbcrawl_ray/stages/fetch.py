@@ -114,6 +114,7 @@ class Fetcher:
         # per-batch politeness reservation state (see _wait_turn)
         self._batch_remaining: dict[str, int] = {}
         self._batch_slots: dict[str, list[float]] = {}
+        self._batch_window_end: dict[str, float] = {}
 
     def _debug_dump(self, name: str, headers: dict) -> None:
         """Reference -debug parity (crawlers.go:55-82): one text file per
@@ -162,16 +163,26 @@ class Fetcher:
                     # Firing a past slot now would compress the gap to the
                     # next on-time fire — possibly another worker's, whose
                     # reservations sit after our window — below `delay`.
-                    # Resynchronize: abandon the remaining prereserved
-                    # slots and re-batch this host's remaining rows from
-                    # the LIVE clock. The abandoned slots stay burned on
-                    # the clock (extra politeness, never a violation);
-                    # on-time workers keep one-RPC-per-host batching.
+                    # Resynchronize: RELEASE the abandoned slots back to
+                    # the clock (compare-and-swap: succeeds only if no
+                    # one reserved after our window — else they stay
+                    # burned, which is extra politeness, never a
+                    # violation) and re-batch this host's remaining rows
+                    # from the live clock. Without the release a
+                    # persistently-slow worker would queue each re-batch
+                    # behind its own phantom backlog — O(rows²·delay)
+                    # sleep instead of O(rows·latency).
+                    n_unused = 1 + len(slots)
+                    release = getattr(self.cfg.clock, "release", None)
+                    wend = self._batch_window_end.get(host)
+                    if release is not None and wend is not None:
+                        release(host, wend, n_unused * delay)
                     self._batch_slots.pop(host, None)
                     slot = None
             if slot is None:
                 n = 1 + self._batch_remaining.get(host, 0)
                 first = self.cfg.clock.reserve(host, delay, n)
+                self._batch_window_end[host] = first + n * delay
                 if n > 1:
                     self._batch_slots[host] = [first + i * delay for i in range(1, n)]
                 slot = first
@@ -268,6 +279,7 @@ class Fetcher:
 
         self._batch_remaining = dict(Counter(hosts))
         self._batch_slots = {}
+        self._batch_window_end = {}
         for url, host in zip(urls, hosts):
             self._batch_remaining[host] -= 1  # rows after this one
             resp, chain, err = self.fetch_one(url, host)

@@ -295,9 +295,11 @@ def knn_ivf(
                 # points at nothing or a VALID index; a stale index is
                 # moved ASIDE (atomic), never rmtree'd in place — a
                 # process whose staleness check predates another's
-                # publish can therefore never delete the live winner,
-                # and in-flight probes keep reading the intact aside
-                # dir. Aside dirs are reaped lazily once old.
+                # publish can therefore never delete the live winner.
+                # The aside keeps files intact for readers holding open
+                # descriptors; a PATH-based reader racing the swap can
+                # still hit FileNotFoundError (handled below with one
+                # re-validate + retry). Aside dirs are reaped lazily.
                 import fcntl
                 import glob as _glob
                 import time as _time
@@ -330,9 +332,19 @@ def knn_ivf(
                 build_ivf_index(
                     ds, index_dir, n_cells, id_col=id_col, vec_col=vec_col, sample_rows=sample_rows
                 )
-        return knn_ivf_probe(
-            index_dir, queries, query_ids, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
-        )
+        try:
+            return knn_ivf_probe(
+                index_dir, queries, query_ids, k=k, n_probe=n_probe,
+                id_col=id_col, vec_col=vec_col,
+            )
+        except FileNotFoundError:
+            # a concurrent stale-swap moved listed files out from under
+            # this path-based probe; the canonical path now holds the
+            # (equivalent or fresher) published index — retry once
+            return knn_ivf_probe(
+                index_dir, queries, query_ids, k=k, n_probe=n_probe,
+                id_col=id_col, vec_col=vec_col,
+            )
     finally:
         if ephemeral:
             shutil.rmtree(index_dir, ignore_errors=True)

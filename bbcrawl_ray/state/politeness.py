@@ -74,6 +74,20 @@ class HostClockShard:
         self.next_free[host] = start + n * delay
         return start
 
+    def release(self, host: str, expected_end: float, unused_s: float) -> bool:
+        """Roll back ``unused_s`` seconds of a reservation whose window
+        ended at ``expected_end`` — compare-and-swap style: succeeds
+        only while next_free still equals that window end (nobody
+        reserved after us), else the abandoned slots stay burned
+        (extra politeness, never a violation). Lets a drifting worker
+        resynchronize without queueing behind its own phantom backlog.
+        """
+        cur = self.next_free.get(host, 0.0)
+        if abs(cur - expected_end) < 1e-6:
+            self.next_free[host] = cur - unused_s
+            return True
+        return False
+
     def clear(self) -> None:
         self.next_free.clear()
 
@@ -94,6 +108,10 @@ class HostClock:
         # worker routing one host to the SAME shard
         shard = self.shards[zlib.crc32(host.encode()) % self.n]
         return ray.get(shard.reserve.remote(host, delay, n))
+
+    def release(self, host: str, expected_end: float, unused_s: float) -> bool:
+        shard = self.shards[zlib.crc32(host.encode()) % self.n]
+        return ray.get(shard.release.remote(host, expected_end, unused_s))
 
     def wait_turn(self, host: str, delay: float) -> None:
         """Reserve one slot and sleep until it arrives (no-op at delay<=0)."""

@@ -651,3 +651,45 @@ def test_ngram_exact_collapse_parity(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     # clone family A alone contributes C(3,2)=3 exact pairs
     assert len(a) >= 3
+
+
+def test_minhash_edge_corpora(ray_session):
+    """Edge corpora through the default (collapse) pipeline:
+    - exact-dup-only corpus must NOT crash the expansion join (labels
+      are empty) and must match the uncollapsed transport;
+    - >=2 empty-text docs must NOT cluster (empty shingle sets never
+      verify in the uncollapsed pipeline) — collapse parity holds;
+    - a duplicate-free corpus returns an EMPTY but SCHEMA-TYPED result
+      through the schema-safe collector."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bbcrawl_ray.pipelines.relops import to_pandas_schema_safe
+    from bbcrawl_ray.stages.dedup import minhash_dedup
+
+    dup_only = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4],
+         "text": ["clone text here body", "clone text here body",
+                  "unique aaaa", "unique bbbb"]}
+    )
+    empties = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4],
+         "text": ["", "", "the quick brown fox naps", "the quick brown fox napped"]}
+    )
+    nodups = pd.DataFrame(
+        {"doc_id": [1, 2],
+         "text": ["aaaa bbbb cccc dddd", "eeee ffff gggg hhhh"]}
+    )
+    for df in (dup_only, empties):
+        a = to_pandas_schema_safe(
+            minhash_dedup(rd.from_pandas(df), threshold=0.5, collapse_exact=False)
+        ).sort_values("doc_id").reset_index(drop=True)
+        b = to_pandas_schema_safe(
+            minhash_dedup(rd.from_pandas(df), threshold=0.5, collapse_exact=True)
+        ).sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    out = to_pandas_schema_safe(
+        minhash_dedup(rd.from_pandas(nodups), threshold=0.5)
+    )
+    assert list(out.columns) == ["doc_id", "cluster_id"]
+    assert len(out) == 0

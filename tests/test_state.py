@@ -483,12 +483,17 @@ def test_fetch_resyncs_stale_prereserved_slots(ray_session):
 
         def __init__(self):
             self.calls = []
+            self.releases = []
 
         def reserve(self, host, delay, n=1):
             self.calls.append((host, delay, n))
             if len(self.calls) == 1:
                 return _time.time() - 10.0
             return _time.time()
+
+        def release(self, host, expected_end, unused_s):
+            self.releases.append((host, round(unused_s, 6)))
+            return True
 
     clock = DriftClock()
     f = Fetcher(FetchConfig(min_host_delay_s=0.001, clock=clock))
@@ -507,3 +512,29 @@ def test_fetch_resyncs_stale_prereserved_slots(ray_session):
     # and re-batches the remaining 3 rows in ONE live call — not one RPC
     # per row, and never a silent fire on the stale schedule.
     assert [(h, n) for h, _, n in clock.calls] == [("a.example", 4), ("a.example", 3)]
+    # the abandoned slots (stale popped + 2 remaining) were RELEASED back
+    # to the clock so the re-batch does not queue behind the burned window
+    assert clock.releases == [("a.example", round(3 * 0.001, 6))]
+
+
+def test_host_clock_release_rolls_back_unused_window(ray_session):
+    """HostClockShard.release is compare-and-swap: it rolls the clock
+    back by the unused seconds only while next_free still equals the
+    caller's window end, so a drifting worker resynchronizes without
+    queueing behind its own phantom backlog — and never clobbers a
+    reservation someone else made after it."""
+    import time as _time
+
+    from bbcrawl_ray.state.politeness import HostClock
+
+    clock = HostClock(num_shards=1)
+    delay = 1.0
+    first = clock.reserve("h.example", delay, 5)
+    window_end = first + 5 * delay
+    # roll back 3 unused slots: succeeds, and the next reservation lands
+    # ~2 slots after `first`, not 5
+    assert clock.release("h.example", window_end, 3 * delay) is True
+    nxt = clock.reserve("h.example", delay, 1)
+    assert abs(nxt - (first + 2 * delay)) < 0.2
+    # a second release against the OLD window end must fail (CAS):
+    assert clock.release("h.example", window_end, 1.0) is False

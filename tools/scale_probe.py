@@ -50,15 +50,7 @@ def main() -> None:
     out: dict = {"n_docs": len(clones), "n_base": n_base}
 
     t0 = time.perf_counter()
-    exact = D.exact_dedup(
-        ds.map_batches(
-            lambda t: t.set_column(
-                t.schema.get_field_index("text"), "text", t["text"]
-            ),
-            batch_format="pyarrow",
-        ),
-        key="text",
-    ).to_pandas()
+    exact = D.exact_dedup(ds, key="text").to_pandas()
     out["exact_s"] = round(time.perf_counter() - t0, 2)
     out["exact_groups"] = len(exact)
     assert (exact["dup_count"] >= 10).all(), "every text has 10 clones"
