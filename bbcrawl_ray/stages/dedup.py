@@ -849,24 +849,19 @@ def exact_collapse(
     n_shards: int | None = None,
 ) -> Dataset:
     """(id, text) → one row per doc: (id, rep = min id with identical
-    text, group size, has_content flag, text ONLY on representative
-    rows).
+    text, group size, has_content flag). KEYS-ONLY: the shuffle moves
+    (id, 128-bit content hash, flag) rows — the text never enters it.
 
-    One key-shard shuffle (texts cross the wire once); per shard the
-    rep and size come from vectorized grouped transforms. Derive the
-    unique-representative corpus with ``filter(id == rep)`` and the
-    doc→rep mapping with a column select — both from the SAME pass.
-    ``n_shards`` defaults to a DATA-SIZED count (~100k text rows per
-    shard group, ≈100 MB of typical documents): this shuffle carries
-    the full text payload, so a fixed count is a worker-OOM cliff at
-    scale.
-    """
-    from ..pipelines.relops import data_sized_shards, shard_of
+    Per shard the rep and size come from vectorized grouped transforms.
+    Pair with ``representatives`` to derive the unique-text corpus.
+    ``n_shards`` defaults to a DATA-SIZED count (the rows are ~25 B, so
+    groups stay small even with generous shards)."""
+    from ..pipelines.relops import data_sized_shards
 
     docs = ds.select_columns([id_col, text_col])
     if n_shards is None:
         docs = docs.materialize()
-        n_shards = data_sized_shards(docs.count(), target_rows=100_000, min_shards=32)
+        n_shards = data_sized_shards(docs.count(), target_rows=2_000_000, min_shards=32)
     shards = n_shards
 
     def key_batch(t: pa.Table) -> pa.Table:
@@ -875,31 +870,119 @@ def exact_collapse(
         return pa.table(
             {
                 id_col: t[id_col],
-                text_col: t[text_col],
                 "_ck1": pa.array(ck1, pa.uint64()),
                 "_ck2": pa.array(ck2, pa.uint64()),
+                # identical texts share emptiness, so the per-row flag
+                # IS the group/rep flag; consumers use it to keep
+                # empty-text groups out of trivial-duplicate expansion
+                # (empty shingle/gram sets never verify as pairs)
+                "has_content": pc.not_equal(t[text_col], ""),
                 "_shard": pa.array(shard, pa.int32()),
             }
         )
 
     def collapse_shard(g: pd.DataFrame) -> pd.DataFrame:
         grp = g.groupby(["_ck1", "_ck2"])[id_col]
-        g = g.assign(
-            rep_id=grp.transform("min"),
-            group_n=grp.transform("size"),
-            # identical texts share emptiness, so the per-row flag IS
-            # the group/rep flag; consumers use it to keep empty-text
-            # groups out of trivial-duplicate expansion (empty shingle
-            # sets never verify as pairs in the uncollapsed pipeline)
-            has_content=g[text_col] != "",
-        )
-        # drop the text payload for non-representative rows — the rep
-        # carries the one copy downstream stages shingle
-        g.loc[g[id_col] != g["rep_id"], text_col] = ""
+        g = g.assign(rep_id=grp.transform("min"), group_n=grp.transform("size"))
         return g.drop(columns=["_ck1", "_ck2", "_shard"])
 
     keyed = docs.map_batches(key_batch, batch_format="pyarrow")
     return keyed.groupby("_shard").map_groups(collapse_shard, batch_format="pandas")
+
+
+def representatives(
+    ds: Dataset,
+    mapping: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_bytes: int = 64 << 20,
+) -> Dataset:
+    """Unique-text corpus (id, text) for a collapse ``mapping``: under
+    an ABSOLUTE byte gate the rep-id set broadcasts once (ray.put) and
+    the corpus filters IN PLACE — no text moves at all; above it (≳8M
+    unique docs) a hash join ships each unique text once."""
+    import ray
+
+    docs = ds.select_columns([id_col, text_col])
+    reps = _compact_blocks(
+        mapping.map_batches(
+            lambda t: t.filter(pc.equal(t[id_col], t["rep_id"])).select([id_col]),
+            batch_format="pyarrow",
+        )
+    )
+    n_reps = reps.count()
+    if n_reps * 10 <= broadcast_bytes:
+        chunks = [
+            b[id_col].combine_chunks()
+            for b in reps.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        value_set = pa.concat_arrays(
+            [c if isinstance(c, pa.Array) else c.combine_chunks() for c in chunks]
+        )
+        ref = ray.put(value_set)
+
+        def keep(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t[id_col], value_set=ray.get(ref)))
+
+        return docs.map_batches(keep, batch_format="pyarrow")
+    nparts = _join_partitions(rows=n_reps)
+    return _compact_blocks(docs).join(
+        reps, join_type="inner", num_partitions=nparts, on=(id_col,)
+    )
+
+
+# collapse engages only when the measured exact-dup rate clears this:
+# below it the expansion joins' fixed cost exceeds the quadratic pair
+# saving (measured ~2-4 s overhead at a 5%-dup 5k corpus vs 10-20x wins
+# at 90% dup)
+_COLLAPSE_MIN_DUP_RATE = 0.15
+
+
+def _estimate_dup_rate(
+    docs: Dataset, text_col: str = "text", stratum: int = 64
+) -> float:
+    """Unbiased exact-dup-rate estimate from a 1/stratum KEY-SPACE
+    sample: identical texts share their content key, so a hash stratum
+    contains EVERY member of each sampled group — unlike row sampling,
+    which splits groups and underestimates. One map pass over the
+    corpus plus a distinct shuffle over ~1/stratum of the keys."""
+
+    def strat(t: pa.Table) -> pa.Table:
+        ck1, ck2 = _content_key128(t[text_col].to_pylist())
+        m = (ck1 % np.uint64(stratum)) == 0
+        return pa.table(
+            {
+                "_ck1": pa.array(ck1[m], pa.uint64()),
+                "_ck2": pa.array(ck2[m], pa.uint64()),
+            }
+        )
+
+    keys = docs.map_batches(strat, batch_format="pyarrow").materialize()
+    n = keys.count()
+    if n == 0:
+        return 0.0
+    from ..pipelines.relops import distinct
+
+    nd = distinct(keys, ["_ck1", "_ck2"]).count()
+    return (n - nd) / n
+
+
+def _adaptive_mapping(
+    docs: Dataset, id_col: str, text_col: str, collapse_exact
+) -> Dataset | None:
+    """Resolve the collapse_exact knob (True / False / "auto") into a
+    materialized mapping or None. "auto" estimates the exact-dup rate
+    from a key-space stratum sample and skips the collapse entirely
+    below ``_COLLAPSE_MIN_DUP_RATE`` — the full mapping shuffle only
+    runs once the rate justifies it."""
+    if collapse_exact is False:
+        return None
+    if collapse_exact == "auto" and _estimate_dup_rate(
+        docs, text_col
+    ) < _COLLAPSE_MIN_DUP_RATE:
+        return None
+    return _compact_blocks(exact_collapse(docs, id_col, text_col))
 
 
 def minhash_dedup(
@@ -910,21 +993,24 @@ def minhash_dedup(
     threshold=0.8,
     broadcast_gates: bool = True,
     cc_driver_gate: int | None = _CC_DRIVER_GATE,
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
 ) -> Dataset:
     """Full near-dup pipeline → (doc_id, cluster_id) Dataset.
 
-    ``collapse_exact`` (default on) runs an EXACT-duplicate collapse
-    first and feeds only unique-text representatives to the LSH /
-    verify / CC stages: identical texts have identical shingle sets,
-    so the clusters are provably unchanged, while candidate pairs
-    shrink quadratically in the exact-dup rate — on a 10x-cloned 50k
-    corpus the pair stream drops 6.68M → ~67k and wall time ~10x. At
-    web dup rates (30-50% exact) this is the difference between
-    verifying every clone pair and verifying each text once. Members
-    rejoin their representative's cluster through the doc→rep mapping
-    at the end (min-id semantics are preserved because each rep IS the
-    min id of its identical-text group).
+    ``collapse_exact`` runs an EXACT-duplicate collapse first and feeds
+    only unique-text representatives to the LSH / verify / CC stages:
+    identical texts have identical shingle sets, so the clusters are
+    provably unchanged, while candidate pairs shrink quadratically in
+    the exact-dup rate — on a 10x-cloned 50k corpus the pair stream
+    drops 6.68M → ~67k and wall time ~10x. At web dup rates (30-50%
+    exact) this is the difference between verifying every clone pair
+    and verifying each text once. The default "auto" measures the dup
+    rate from the CHEAP keys-only mapping and collapses only above
+    ``_COLLAPSE_MIN_DUP_RATE`` — below it the expansion joins' fixed
+    cost exceeds the saving. Members rejoin their representative's
+    cluster through the doc→rep mapping at the end (min-id semantics
+    are preserved because each rep IS the min id of its
+    identical-text group).
 
     Scale posture: every stage is distributed — LSH banding prunes to
     candidate pairs (no all-pairs), shingle sets join onto pairs by
@@ -936,15 +1022,9 @@ def minhash_dedup(
     from ray.data.aggregate import Min as _Min
 
     docs = ds.select_columns([id_col, text_col])
-    mapping = None
-    if collapse_exact:
-        mapping = _compact_blocks(exact_collapse(docs, id_col, text_col))
-        docs = mapping.map_batches(
-            lambda t: t.filter(pc.equal(t[id_col], t["rep_id"])).select(
-                [id_col, text_col]
-            ),
-            batch_format="pyarrow",
-        )
+    mapping = _adaptive_mapping(docs, id_col, text_col, collapse_exact)
+    if mapping is not None:
+        docs = representatives(ds, mapping, id_col, text_col)
 
     # signatures computed ONCE, shared by banding and the verify prefilter
     sigs = docs.map_batches(
@@ -1235,7 +1315,7 @@ def ngram_jaccard_pairs(
     threshold_den: int = 2,
     n_shards: int | None = None,
     sizes_broadcast_bytes: int = 64 << 20,
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
 ) -> Dataset:
     """EXACT word-n-gram Jaccard near-dup pairs (unlike minhash/simhash,
     no approximation): all pairs with jaccard >= threshold_num/threshold_den
@@ -1243,7 +1323,8 @@ def ngram_jaccard_pairs(
     (left_id, right_id, inter, union_n) so the result value-hashes
     exactly against a SQL oracle.
 
-    ``collapse_exact`` (default on) collapses identical texts to their
+    ``collapse_exact`` ("auto": engage only above the measured
+    ``_COLLAPSE_MIN_DUP_RATE``) collapses identical texts to their
     min-id representative first and runs the inverted index over unique
     texts only — every gram's document frequency (and therefore the
     O(df²) pair expansion) would otherwise scale with the exact-dup
@@ -1263,18 +1344,14 @@ def ngram_jaccard_pairs(
         threshold_num=threshold_num, threshold_den=threshold_den,
         n_shards=n_shards, sizes_broadcast_bytes=sizes_broadcast_bytes,
     )
-    if not collapse_exact:
-        return _ngram_pairs_core(ds, **core_kw)[0]
-
     from ..pipelines.relops import shard_of
 
-    mapping = _compact_blocks(
-        exact_collapse(ds.select_columns([id_col, text_col]), id_col, text_col)
+    mapping = _adaptive_mapping(
+        ds.select_columns([id_col, text_col]), id_col, text_col, collapse_exact
     )
-    reps = mapping.map_batches(
-        lambda t: t.filter(pc.equal(t[id_col], t["rep_id"])).select([id_col, text_col]),
-        batch_format="pyarrow",
-    )
+    if mapping is None:
+        return _ngram_pairs_core(ds, **core_kw)[0]
+    reps = representatives(ds, mapping, id_col, text_col)
     rep_pairs, rep_sizes = _ngram_pairs_core(reps, **core_kw)
 
     import ray.data as rd
