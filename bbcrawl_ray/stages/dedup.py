@@ -932,6 +932,50 @@ def representatives(
     )
 
 
+def _expand_cross_member_pairs(
+    rep_pairs: Dataset,
+    mapping: Dataset,
+    id_col: str,
+    id_type: pa.DataType,
+    value_cols: list[str],
+    nparts: int,
+) -> Dataset | None:
+    """Expand rep-level pairs to member-level pairs through the doc→rep
+    mapping: members inherit their rep pair's value columns verbatim
+    (identical texts ⇒ identical shingle/gram/fingerprint features).
+    Returns (left_id, right_id, *value_cols) with each pair oriented
+    (min, max), or None when there are no rep pairs."""
+    rp = _compact_blocks(rep_pairs)
+    if rp.count() == 0:
+        return None
+    ml = _rename(
+        mapping.select_columns([id_col, "rep_id"]),
+        {id_col: "left_doc", "rep_id": "left_id"}, [id_col, "rep_id"],
+    )
+    mr = _rename(
+        mapping.select_columns([id_col, "rep_id"]),
+        {id_col: "right_doc", "rep_id": "right_id"}, [id_col, "rep_id"],
+    )
+    e1 = _compact_blocks(
+        rp.join(ml, join_type="inner", num_partitions=nparts, on=("left_id",))
+    )
+    e = _compact_blocks(
+        e1.join(mr, join_type="inner", num_partitions=nparts, on=("right_id",))
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        # reps satisfy left<right but their members need not — orient
+        # each member pair (min, max)
+        lo = pc.min_element_wise(t["left_doc"], t["right_doc"])
+        hi = pc.max_element_wise(t["left_doc"], t["right_doc"])
+        cols = {"left_id": pc.cast(lo, id_type), "right_id": pc.cast(hi, id_type)}
+        for c in value_cols:
+            cols[c] = pc.cast(t[c], pa.int64())
+        return pa.table(cols)
+
+    return e.map_batches(orient, batch_format="pyarrow")
+
+
 # collapse engages only when the measured exact-dup rate clears this:
 # below it the expansion joins' fixed cost exceeds the quadratic pair
 # saving (measured ~2-4 s overhead at a 5%-dup 5k corpus vs 10-20x wins
@@ -1361,38 +1405,11 @@ def ngram_jaccard_pairs(
     id_type = _as_pa_type(mapping.schema(), id_col)
     parts: list[Dataset] = []
 
-    rp = _compact_blocks(rep_pairs)
-    if rp.count() > 0:
-        ml = _rename(
-            mapping.select_columns([id_col, "rep_id"]),
-            {id_col: "left_doc", "rep_id": "left_id"}, [id_col, "rep_id"],
-        )
-        mr = _rename(
-            mapping.select_columns([id_col, "rep_id"]),
-            {id_col: "right_doc", "rep_id": "right_id"}, [id_col, "rep_id"],
-        )
-        e1 = _compact_blocks(
-            rp.join(ml, join_type="inner", num_partitions=nparts, on=("left_id",))
-        )
-        e = _compact_blocks(
-            e1.join(mr, join_type="inner", num_partitions=nparts, on=("right_id",))
-        )
-
-        def orient(t: pa.Table) -> pa.Table:
-            # reps satisfy left<right but their members need not —
-            # orient each member pair (min, max)
-            lo = pc.min_element_wise(t["left_doc"], t["right_doc"])
-            hi = pc.max_element_wise(t["left_doc"], t["right_doc"])
-            return pa.table(
-                {
-                    "left_id": pc.cast(lo, id_type),
-                    "right_id": pc.cast(hi, id_type),
-                    "inter": pc.cast(t["inter"], pa.int64()),
-                    "union_n": pc.cast(t["union_n"], pa.int64()),
-                }
-            )
-
-        parts.append(e.map_batches(orient, batch_format="pyarrow"))
+    cross = _expand_cross_member_pairs(
+        rep_pairs, mapping, id_col, id_type, ["inter", "union_n"], nparts
+    )
+    if cross is not None:
+        parts.append(cross)
 
     # same-group pairs: every member pair of a >=2 group whose rep HAS
     # grams is an exact duplicate (inter = union = rep gram count)
@@ -1529,7 +1546,7 @@ def simhash_bands(max_hamming: int) -> tuple[int, int]:
     )
 
 
-def simhash_near_dup(ds: Dataset, id_col="doc_id", text_col="text", max_hamming=3) -> Dataset:
+def _simhash_core(ds: Dataset, id_col="doc_id", text_col="text", max_hamming=3) -> Dataset:
     """Near-dup pairs by simhash: candidates share ≥1 of ``n_bands``
     equal-width bands, with ``n_bands`` DERIVED from ``max_hamming`` so
     the pigeonhole guarantee always covers the advertised radius
@@ -1645,6 +1662,92 @@ def simhash_near_dup(ds: Dataset, id_col="doc_id", text_col="text", max_hamming=
     return exploded.groupby("shard").map_groups(
         pairs_in_shard, batch_format="pandas"
     )
+
+
+def simhash_near_dup(
+    ds: Dataset,
+    id_col="doc_id",
+    text_col="text",
+    max_hamming=3,
+    collapse_exact: bool | str = "auto",
+) -> Dataset:
+    """SimHash near-dup pairs (left_id, right_id, hamming) — see
+    ``_simhash_core`` for the banding/ownership design.
+
+    ``collapse_exact`` ("auto": engage only above the measured
+    ``_COLLAPSE_MIN_DUP_RATE``) runs the banding/verify over unique-text
+    representatives only — identical texts share a fingerprint, so a
+    clone-heavy bucket's O(m²) xor sweep shrinks quadratically — and
+    reconstructs member pairs exactly: cross-group pairs inherit their
+    rep pair's hamming distance, same-group members pair at distance 0.
+    Unlike minhash/ngram, EMPTY-text groups DO pair (simhash("") = 0 =
+    distance 0), matching the uncollapsed pipeline — parity-pinned."""
+    mapping = _adaptive_mapping(
+        ds.select_columns([id_col, text_col]), id_col, text_col, collapse_exact
+    )
+    if mapping is None:
+        return _simhash_core(ds, id_col, text_col, max_hamming)
+
+    import ray.data as rd
+
+    from ..pipelines.relops import data_sized_shards, shard_of
+
+    reps = representatives(ds, mapping, id_col, text_col)
+    rep_pairs = _simhash_core(reps, id_col, text_col, max_hamming)
+
+    n_map = mapping.count()
+    nparts = _join_partitions(rows=n_map)
+    id_type = _as_pa_type(mapping.schema(), id_col)
+    parts: list[Dataset] = []
+    cross = _expand_cross_member_pairs(
+        rep_pairs, mapping, id_col, id_type, ["hamming"], nparts
+    )
+    if cross is not None:
+        parts.append(cross)
+
+    multi = _compact_blocks(
+        mapping.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["group_n"], 2)).select(
+                [id_col, "rep_id"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    if multi.count() > 0:
+        rep_shards = data_sized_shards(n_map)
+
+        def shard_by_rep(t: pa.Table) -> pa.Table:
+            s = shard_of(t["rep_id"].to_pandas(), rep_shards).to_numpy()
+            return t.append_column("_shard", pa.array(s, pa.int64()))
+
+        def intra_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            m = g[[id_col, "rep_id"]].merge(g[[id_col, "rep_id"]], on="rep_id")
+            m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+            return pd.DataFrame(
+                {
+                    "left_id": m[f"{id_col}_x"].to_numpy(),
+                    "right_id": m[f"{id_col}_y"].to_numpy(),
+                    "hamming": np.zeros(len(m), dtype=np.int64),
+                }
+            )
+
+        parts.append(
+            multi.map_batches(shard_by_rep, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(intra_pairs, batch_format="pandas")
+        )
+
+    if not parts:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "left_id": pa.array([], id_type),
+                    "right_id": pa.array([], id_type),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return parts[0] if len(parts) == 1 else parts[0].union(parts[1])
 
 
 # ---------------------------------------------------------------------------

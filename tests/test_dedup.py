@@ -693,3 +693,35 @@ def test_minhash_edge_corpora(ray_session):
     )
     assert list(out.columns) == ["doc_id", "cluster_id"]
     assert len(out) == 0
+
+
+def test_simhash_exact_collapse_parity(ray_session):
+    """simhash collapse expansion must emit the IDENTICAL pair set
+    (ids + hamming) as the uncollapsed pipeline — including EMPTY-text
+    clone groups, which DO pair at distance 0 (simhash('') == 0)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bbcrawl_ray.stages.dedup import simhash_near_dup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = []
+    for c in range(3):
+        rows.append((10 + c, base))                      # clone family
+    rows.append((20, base + " extra"))                   # near-dup of family
+    rows.append((30, "utterly different content whatsoever right here"))
+    for c in range(2):
+        rows.append((40 + c, ""))                        # empty-text clones
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    def run(collapse):
+        out = simhash_near_dup(
+            rd.from_pandas(df), max_hamming=6, collapse_exact=collapse
+        ).to_pandas()
+        return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+
+    a, b = run(False), run(True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # the clone family contributes C(3,2)=3 distance-0 pairs; the empty
+    # pair (40,41) must be present in BOTH
+    assert {(40, 41)} <= set(zip(a["left_id"], a["right_id"]))
