@@ -911,7 +911,12 @@ def representatives(
         )
     )
     n_reps = reps.count()
-    if n_reps * 10 <= broadcast_bytes:
+    if n_reps == 0:
+        # empty corpus: an empty SCHEMA-TYPED unique-text stream
+        return docs.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+    # gate on the ACTUAL materialized id bytes (string ids can be an
+    # order of magnitude wider than the 8-B integer guess)
+    if reps.size_bytes() <= broadcast_bytes:
         chunks = [
             b[id_col].combine_chunks()
             for b in reps.iter_batches(batch_format="pyarrow")
@@ -925,10 +930,16 @@ def representatives(
         def keep(t: pa.Table) -> pa.Table:
             return t.filter(pc.is_in(t[id_col], value_set=ray.get(ref)))
 
-        return docs.map_batches(keep, batch_format="pyarrow")
+        # materialized: consumers (signatures AND the verify tiers, or
+        # banding AND bucket sweeps) iterate the unique-text corpus
+        # several times — lazy, each pass would re-run ds's full
+        # upstream lineage plus this filter
+        return docs.map_batches(keep, batch_format="pyarrow").materialize()
     nparts = _join_partitions(rows=n_reps)
-    return _compact_blocks(docs).join(
-        reps, join_type="inner", num_partitions=nparts, on=(id_col,)
+    return _compact_blocks(
+        _compact_blocks(docs).join(
+            reps, join_type="inner", num_partitions=nparts, on=(id_col,)
+        )
     )
 
 
@@ -976,6 +987,44 @@ def _expand_cross_member_pairs(
     return e.map_batches(orient, batch_format="pyarrow")
 
 
+def _expand_intra_member_pairs(
+    tagged: Dataset, id_col: str, n_map: int, extra_cols: list[str], make_values
+) -> Dataset | None:
+    """Same-group member pairs from a (id, rep_id[, *extra_cols])
+    stream: shard by rep, vectorized self-merge per shard.
+    ``make_values(m)`` maps the merged frame (extra cols unsuffixed,
+    id suffixed _x/_y) to the int64 value columns of the pair output.
+    Returns None when ``tagged`` is empty."""
+    from ..pipelines.relops import data_sized_shards, shard_of
+
+    tagged = _compact_blocks(tagged)
+    if tagged.count() == 0:
+        return None
+    rep_shards = data_sized_shards(n_map)
+
+    def shard_by_rep(t: pa.Table) -> pa.Table:
+        s = shard_of(t["rep_id"].to_pandas(), rep_shards).to_numpy()
+        return t.append_column("_shard", pa.array(s, pa.int64()))
+
+    def intra_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[[id_col, "rep_id", *extra_cols]].merge(
+            g[[id_col, "rep_id"]], on="rep_id"
+        )
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        out = {
+            "left_id": m[f"{id_col}_x"].to_numpy(),
+            "right_id": m[f"{id_col}_y"].to_numpy(),
+        }
+        out.update(make_values(m))
+        return pd.DataFrame(out)
+
+    return (
+        tagged.map_batches(shard_by_rep, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(intra_pairs, batch_format="pandas")
+    )
+
+
 # collapse engages only when the measured exact-dup rate clears this:
 # below it the expansion joins' fixed cost exceeds the quadratic pair
 # saving (measured ~2-4 s overhead at a 5%-dup 5k corpus vs 10-20x wins
@@ -983,50 +1032,31 @@ def _expand_cross_member_pairs(
 _COLLAPSE_MIN_DUP_RATE = 0.15
 
 
-def _estimate_dup_rate(
-    docs: Dataset, text_col: str = "text", stratum: int = 64
-) -> float:
-    """Unbiased exact-dup-rate estimate from a 1/stratum KEY-SPACE
-    sample: identical texts share their content key, so a hash stratum
-    contains EVERY member of each sampled group — unlike row sampling,
-    which splits groups and underestimates. One map pass over the
-    corpus plus a distinct shuffle over ~1/stratum of the keys."""
-
-    def strat(t: pa.Table) -> pa.Table:
-        ck1, ck2 = _content_key128(t[text_col].to_pylist())
-        m = (ck1 % np.uint64(stratum)) == 0
-        return pa.table(
-            {
-                "_ck1": pa.array(ck1[m], pa.uint64()),
-                "_ck2": pa.array(ck2[m], pa.uint64()),
-            }
-        )
-
-    keys = docs.map_batches(strat, batch_format="pyarrow").materialize()
-    n = keys.count()
-    if n == 0:
-        return 0.0
-    from ..pipelines.relops import distinct
-
-    nd = distinct(keys, ["_ck1", "_ck2"]).count()
-    return (n - nd) / n
-
-
 def _adaptive_mapping(
     docs: Dataset, id_col: str, text_col: str, collapse_exact
 ) -> Dataset | None:
     """Resolve the collapse_exact knob (True / False / "auto") into a
-    materialized mapping or None. "auto" estimates the exact-dup rate
-    from a key-space stratum sample and skips the collapse entirely
-    below ``_COLLAPSE_MIN_DUP_RATE`` — the full mapping shuffle only
-    runs once the rate justifies it."""
+    materialized mapping or None. "auto" builds the keys-only mapping
+    (texts hashed ONCE, one ~25 B/row shuffle — linear and cheap at
+    any scale) and discards it when the EXACT measured dup rate is
+    below ``_COLLAPSE_MIN_DUP_RATE``. An exact count, not a key-space
+    sample: a sampled estimate is heavy-tailed in GROUP size, so a
+    corpus dominated by one huge clone family — the very workload the
+    collapse exists for — would evade a 1/64 stratum with p ≈ 63/64."""
     if collapse_exact is False:
         return None
-    if collapse_exact == "auto" and _estimate_dup_rate(
-        docs, text_col
-    ) < _COLLAPSE_MIN_DUP_RATE:
-        return None
-    return _compact_blocks(exact_collapse(docs, id_col, text_col))
+    mapping = _compact_blocks(exact_collapse(docs, id_col, text_col))
+    if collapse_exact == "auto":
+        n_docs = mapping.count()
+        if n_docs == 0:
+            return None
+        n_reps = mapping.map_batches(
+            lambda t: t.filter(pc.equal(t[id_col], t["rep_id"])).select([id_col]),
+            batch_format="pyarrow",
+        ).count()
+        if (n_docs - n_reps) / n_docs < _COLLAPSE_MIN_DUP_RATE:
+            return None
+    return mapping
 
 
 def minhash_dedup(
@@ -1388,8 +1418,6 @@ def ngram_jaccard_pairs(
         threshold_num=threshold_num, threshold_den=threshold_den,
         n_shards=n_shards, sizes_broadcast_bytes=sizes_broadcast_bytes,
     )
-    from ..pipelines.relops import shard_of
-
     mapping = _adaptive_mapping(
         ds.select_columns([id_col, text_col]), id_col, text_col, collapse_exact
     )
@@ -1424,40 +1452,17 @@ def ngram_jaccard_pairs(
             batch_format="pyarrow",
         )
     )
-    ib = None
     if multi.count() > 0 and szs.count() > 0:
-        ib = _compact_blocks(
-            multi.join(szs, join_type="inner", num_partitions=nparts, on=("rep_id",))
+        ib = multi.join(szs, join_type="inner", num_partitions=nparts, on=("rep_id",))
+        same = _expand_intra_member_pairs(
+            ib, id_col, n_map, ["_ng"],
+            lambda m: {
+                "inter": m["_ng"].astype("int64").to_numpy(),
+                "union_n": m["_ng"].astype("int64").to_numpy(),
+            },
         )
-    if ib is not None and ib.count() > 0:
-
-        from ..pipelines.relops import data_sized_shards
-
-        rep_shards = data_sized_shards(n_map)
-
-        def shard_by_rep(t: pa.Table) -> pa.Table:
-            s = shard_of(t["rep_id"].to_pandas(), rep_shards).to_numpy()
-            return t.append_column("_shard", pa.array(s, pa.int64()))
-
-        def intra_pairs(g: pd.DataFrame) -> pd.DataFrame:
-            m = g[[id_col, "rep_id", "_ng"]].merge(
-                g[[id_col, "rep_id"]], on="rep_id"
-            )
-            m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
-            return pd.DataFrame(
-                {
-                    "left_id": m[f"{id_col}_x"].to_numpy(),
-                    "right_id": m[f"{id_col}_y"].to_numpy(),
-                    "inter": m["_ng"].astype("int64").to_numpy(),
-                    "union_n": m["_ng"].astype("int64").to_numpy(),
-                }
-            )
-
-        parts.append(
-            ib.map_batches(shard_by_rep, batch_format="pyarrow")
-            .groupby("_shard")
-            .map_groups(intra_pairs, batch_format="pandas")
-        )
+        if same is not None:
+            parts.append(same)
 
     if not parts:
         return rd.from_arrow(
@@ -1690,8 +1695,6 @@ def simhash_near_dup(
 
     import ray.data as rd
 
-    from ..pipelines.relops import data_sized_shards, shard_of
-
     reps = representatives(ds, mapping, id_col, text_col)
     rep_pairs = _simhash_core(reps, id_col, text_col, max_hamming)
 
@@ -1713,29 +1716,12 @@ def simhash_near_dup(
             batch_format="pyarrow",
         )
     )
-    if multi.count() > 0:
-        rep_shards = data_sized_shards(n_map)
-
-        def shard_by_rep(t: pa.Table) -> pa.Table:
-            s = shard_of(t["rep_id"].to_pandas(), rep_shards).to_numpy()
-            return t.append_column("_shard", pa.array(s, pa.int64()))
-
-        def intra_pairs(g: pd.DataFrame) -> pd.DataFrame:
-            m = g[[id_col, "rep_id"]].merge(g[[id_col, "rep_id"]], on="rep_id")
-            m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
-            return pd.DataFrame(
-                {
-                    "left_id": m[f"{id_col}_x"].to_numpy(),
-                    "right_id": m[f"{id_col}_y"].to_numpy(),
-                    "hamming": np.zeros(len(m), dtype=np.int64),
-                }
-            )
-
-        parts.append(
-            multi.map_batches(shard_by_rep, batch_format="pyarrow")
-            .groupby("_shard")
-            .map_groups(intra_pairs, batch_format="pandas")
-        )
+    same = _expand_intra_member_pairs(
+        multi, id_col, n_map, [],
+        lambda m: {"hamming": np.zeros(len(m), dtype=np.int64)},
+    )
+    if same is not None:
+        parts.append(same)
 
     if not parts:
         return rd.from_arrow(

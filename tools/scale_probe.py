@@ -84,12 +84,10 @@ def main() -> None:
     out["ngram_s"] = round(time.perf_counter() - t0, 2)
     out["ngram_pairs"] = len(ng)
 
-    # windowed/as-of stress at 10x the bench event volume: exercises the
+    # as-of stress at 10x the bench event volume: exercises the
     # data-sized shard derivation (round-2 verdict #2) well past the
     # bench scale — 1M events against 1.5M orders through the tagged
-    # union + coarse-shard asof, then sessionization over 1M rows
-    import numpy as np
-
+    # union + coarse-shard asof
     from bbcrawl_ray.pipelines import relops as R
 
     ev = read_table(sf, "events", columns=["event_id", "user_id", "ts"]).to_pandas()
