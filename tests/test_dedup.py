@@ -725,3 +725,29 @@ def test_simhash_exact_collapse_parity(ray_session):
     # the clone family contributes C(3,2)=3 distance-0 pairs; the empty
     # pair (40,41) must be present in BOTH
     assert {(40, 41)} <= set(zip(a["left_id"], a["right_id"]))
+
+
+def test_minhash_string_ids_through_collapse(ray_session):
+    """String doc_ids survive the WHOLE collapse pipeline (mapping,
+    representatives, expansion joins, grouped min) with identical
+    clusters on both transports — min-id semantics are lexicographic."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bbcrawl_ray.stages.dedup import minhash_dedup
+
+    base = "shared body of text that repeats in every clone exactly"
+    rows = [
+        ("doc-a1", base), ("doc-a2", base), ("doc-a3", base),
+        ("doc-b1", base + " nearly"), ("doc-c1", "something else entirely here"),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    a = minhash_dedup(
+        rd.from_pandas(df), threshold=0.5, collapse_exact=False
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = minhash_dedup(
+        rd.from_pandas(df), threshold=0.5, collapse_exact=True
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert set(a["cluster_id"]) == {"doc-a1"}
+    assert len(a) >= 4  # the 3 clones + the near-dup all cluster
