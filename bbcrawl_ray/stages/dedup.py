@@ -859,14 +859,9 @@ def exact_collapse(
     from ..pipelines.relops import data_sized_shards
 
     docs = ds.select_columns([id_col, text_col])
-    if n_shards is None:
-        docs = docs.materialize()
-        n_shards = data_sized_shards(docs.count(), target_rows=2_000_000, min_shards=32)
-    shards = n_shards
 
     def key_batch(t: pa.Table) -> pa.Table:
         ck1, ck2 = _content_key128(t[text_col].to_pylist())
-        shard = (ck1 % np.uint64(shards)).astype(np.int32)
         return pa.table(
             {
                 id_col: t[id_col],
@@ -877,8 +872,21 @@ def exact_collapse(
                 # empty-text groups out of trivial-duplicate expansion
                 # (empty shingle/gram sets never verify as pairs)
                 "has_content": pc.not_equal(t[text_col], ""),
-                "_shard": pa.array(shard, pa.int32()),
             }
+        )
+
+    # materialize the ~25 B/row KEYED table, not the text corpus: the
+    # count that sizes the shuffle then costs nothing extra, and no
+    # duplicate full-text copy sits in the object store
+    keyed = docs.map_batches(key_batch, batch_format="pyarrow").materialize()
+    if n_shards is None:
+        n_shards = data_sized_shards(keyed.count(), target_rows=2_000_000, min_shards=32)
+    shards = n_shards
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        ck1 = t["_ck1"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_shard", pa.array((ck1 % np.uint64(shards)).astype(np.int32), pa.int32())
         )
 
     def collapse_shard(g: pd.DataFrame) -> pd.DataFrame:
@@ -886,8 +894,8 @@ def exact_collapse(
         g = g.assign(rep_id=grp.transform("min"), group_n=grp.transform("size"))
         return g.drop(columns=["_ck1", "_ck2", "_shard"])
 
-    keyed = docs.map_batches(key_batch, batch_format="pyarrow")
-    return keyed.groupby("_shard").map_groups(collapse_shard, batch_format="pandas")
+    sharded = keyed.map_batches(add_shard, batch_format="pyarrow")
+    return sharded.groupby("_shard").map_groups(collapse_shard, batch_format="pandas")
 
 
 def representatives(
@@ -1045,18 +1053,25 @@ def _adaptive_mapping(
     collapse exists for — would evade a 1/64 stratum with p ≈ 63/64."""
     if collapse_exact is False:
         return None
-    mapping = _compact_blocks(exact_collapse(docs, id_col, text_col))
+    mapping = exact_collapse(docs, id_col, text_col).materialize()
     if collapse_exact == "auto":
         n_docs = mapping.count()
         if n_docs == 0:
             return None
         n_reps = mapping.map_batches(
-            lambda t: t.filter(pc.equal(t[id_col], t["rep_id"])).select([id_col]),
+            # schema-less EMPTY shard blocks pass through as 0 rows (the
+            # mapping is deliberately not compacted on this path)
+            lambda t: (
+                t.slice(0, 0)
+                if id_col not in t.column_names
+                else t.filter(pc.equal(t[id_col], t["rep_id"])).select([id_col])
+            ),
             batch_format="pyarrow",
         ).count()
         if (n_docs - n_reps) / n_docs < _COLLAPSE_MIN_DUP_RATE:
             return None
-    return mapping
+    # compacted only on the ENGAGE path — the skip path never joins
+    return _compact_blocks(mapping)
 
 
 def minhash_dedup(
