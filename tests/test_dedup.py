@@ -751,3 +751,27 @@ def test_minhash_string_ids_through_collapse(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert set(a["cluster_id"]) == {"doc-a1"}
     assert len(a) >= 4  # the 3 clones + the near-dup all cluster
+
+
+def test_representatives_join_path_parity(ray_session):
+    """representatives() above the broadcast byte gate (forced with
+    broadcast_bytes=0) must yield the same unique-text corpus as the
+    broadcast filter path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bbcrawl_ray.stages.dedup import exact_collapse, representatives
+
+    rows = [(i, f"text body {i % 4} shared") for i in range(12)]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    ds = rd.from_pandas(df)
+    mapping = exact_collapse(ds).materialize()
+
+    def collect(broadcast_bytes):
+        out = representatives(ds, mapping, broadcast_bytes=broadcast_bytes).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    a = collect(64 << 20)   # broadcast filter path
+    b = collect(0)          # forced hash-join path
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) == 4 and set(a["doc_id"]) == {0, 1, 2, 3}
