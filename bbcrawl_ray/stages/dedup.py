@@ -1039,20 +1039,72 @@ def _expand_intra_member_pairs(
 # at 90% dup)
 _COLLAPSE_MIN_DUP_RATE = 0.15
 
+# HLL pre-probe guard band around the threshold: the sketch's relative
+# error at p=14 is ~0.8% (and the small-cardinality linear-counting
+# regime is tighter still), so ±0.05 is >6σ — an estimate outside the
+# band decides alone; inside it the exact keyed mapping breaks the tie
+_COLLAPSE_PROBE_BAND = 0.05
+_COLLAPSE_PROBE_P = 14
+
+
+def _approx_dup_rate(docs: Dataset, text_col: str) -> tuple[int, float]:
+    """(row count, approximate exact-duplicate rate) in ONE map_batches
+    pass — per block a 16 KiB HLL sketch over the 64-bit content hash
+    plus a row count, merged in a tiny driver reduce. No shuffle, and
+    unlike a key-space sample it SEES every row, so a single huge clone
+    family (the workload the collapse serves) cannot evade it."""
+    from .sampling import HllSketch
+
+    p = _COLLAPSE_PROBE_P
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        sk = HllSketch(p)
+        texts = t[text_col].to_pylist()
+        if texts:
+            ck1, _ = _content_key128(texts)
+            sk.add_hashes(ck1)
+        return pa.table(
+            {
+                "sketch": pa.array([sk.to_bytes()], pa.large_binary()),
+                "n": pa.array([len(texts)], pa.int64()),
+            }
+        )
+
+    merged, n = HllSketch(p), 0
+    for b in docs.map_batches(sketch_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob, cnt in zip(b["sketch"].to_pylist(), b["n"].to_pylist()):
+            merged = merged.merge(HllSketch.from_bytes(p, blob))
+            n += cnt
+    if n == 0:
+        return 0, 0.0
+    return n, max(0.0, 1.0 - min(float(n), merged.estimate()) / n)
+
 
 def _adaptive_mapping(
     docs: Dataset, id_col: str, text_col: str, collapse_exact
 ) -> Dataset | None:
     """Resolve the collapse_exact knob (True / False / "auto") into a
-    materialized mapping or None. "auto" builds the keys-only mapping
-    (texts hashed ONCE, one ~25 B/row shuffle — linear and cheap at
-    any scale) and discards it when the EXACT measured dup rate is
-    below ``_COLLAPSE_MIN_DUP_RATE``. An exact count, not a key-space
-    sample: a sampled estimate is heavy-tailed in GROUP size, so a
-    corpus dominated by one huge clone family — the very workload the
-    collapse exists for — would evade a 1/64 stratum with p ≈ 63/64."""
+    materialized mapping or None. "auto" first runs the shuffle-free
+    HLL dup-rate probe (`_approx_dup_rate`); an estimate below
+    ``_COLLAPSE_MIN_DUP_RATE`` by more than the >6σ guard band skips
+    outright — the common low-dup case pays one linear hash pass and
+    nothing else. Estimates at or above the band build the keys-only
+    mapping (one ~25 B/row shuffle) and let the EXACT dup rate decide,
+    so the engage/skip decision at the boundary is deterministic. The
+    probe is full-population, not a key-space sample: a sampled
+    estimate is heavy-tailed in GROUP size, so a corpus dominated by
+    one huge clone family — the very workload the collapse exists
+    for — would evade a 1/64 stratum with p ≈ 63/64. (Either decision
+    yields identical operator output; the knob is purely a cost
+    choice, which is what makes an approximate first stage safe.)"""
     if collapse_exact is False:
         return None
+    if collapse_exact == "auto":
+        n, est = _approx_dup_rate(docs, text_col)
+        if n == 0 or est < _COLLAPSE_MIN_DUP_RATE - _COLLAPSE_PROBE_BAND:
+            return None
     mapping = exact_collapse(docs, id_col, text_col).materialize()
     if collapse_exact == "auto":
         n_docs = mapping.count()
@@ -1094,9 +1146,10 @@ def minhash_dedup(
     drops 6.68M → ~67k and wall time ~10x. At web dup rates (30-50%
     exact) this is the difference between verifying every clone pair
     and verifying each text once. The default "auto" measures the dup
-    rate from the CHEAP keys-only mapping and collapses only above
-    ``_COLLAPSE_MIN_DUP_RATE`` — below it the expansion joins' fixed
-    cost exceeds the saving. Members rejoin their representative's
+    rate with a shuffle-free full-population HLL probe (exact keyed
+    tie-break near the threshold — see ``_adaptive_mapping``) and
+    collapses only above ``_COLLAPSE_MIN_DUP_RATE`` — below it the
+    expansion joins' fixed cost exceeds the saving. Members rejoin their representative's
     cluster through the doc→rep mapping at the end (min-id semantics
     are preserved because each rep IS the min id of its
     identical-text group).

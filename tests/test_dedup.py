@@ -775,3 +775,40 @@ def test_representatives_join_path_parity(ray_session):
     b = collect(0)          # forced hash-join path
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert len(a) == 4 and set(a["doc_id"]) == {0, 1, 2, 3}
+
+
+def test_adaptive_probe_decisions(ray_session):
+    """The "auto" knob's two-stage probe: the shuffle-free HLL estimate
+    alone skips a clearly-low-dup corpus (mapping None, no keyed
+    shuffle), engages on a clone-heavy corpus, and its estimate tracks
+    the true dup rate well inside the guard band."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bbcrawl_ray.stages.dedup import _adaptive_mapping, _approx_dup_rate
+
+    # 2000 docs, all unique -> dup rate 0, far below the threshold
+    uniq = pd.DataFrame(
+        {"doc_id": range(2000), "text": [f"unique document body {i}" for i in range(2000)]}
+    )
+    n, est = _approx_dup_rate(rd.from_pandas(uniq), "text")
+    assert n == 2000
+    assert est < 0.05
+    assert _adaptive_mapping(rd.from_pandas(uniq), "doc_id", "text", "auto") is None
+
+    # 2000 docs, 10x-cloned (one family per 10 rows) -> dup rate 0.9
+    dup = pd.DataFrame(
+        {"doc_id": range(2000), "text": [f"clone family {i // 10} body" for i in range(2000)]}
+    )
+    n, est = _approx_dup_rate(rd.from_pandas(dup), "text")
+    assert n == 2000
+    assert abs(est - 0.9) < 0.05
+    mapping = _adaptive_mapping(rd.from_pandas(dup), "doc_id", "text", "auto")
+    assert mapping is not None
+    m = mapping.to_pandas()
+    assert (m.groupby("rep_id")["doc_id"].transform("min") == m["rep_id"]).all()
+
+    # empty corpus: probe reports (0, 0.0) and auto skips
+    empty = rd.from_pandas(uniq.iloc[0:0])
+    assert _approx_dup_rate(empty, "text") == (0, 0.0)
+    assert _adaptive_mapping(empty, "doc_id", "text", "auto") is None
