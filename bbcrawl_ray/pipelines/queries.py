@@ -575,6 +575,228 @@ def q_stratified_lineitem(sf_dir: str) -> Dataset:
 
 
 # ---------------------------------------------------------------------------
+# outer/semi join variants, rollup, pivot, set-intersect, argmax, rank
+
+
+def q_customer_order_counts(sf_dir: str) -> Dataset:
+    """LEFT OUTER join keeping zero-order customers. Orders pre-aggregate
+    to one count row per custkey (combiner) BEFORE the join, so the
+    outer-join shuffle moves counts, never order rows; the engine
+    coalesces the key and we coalesce the missing counts to 0."""
+    orders = R.read_table(sf_dir, "orders", columns=["o_custkey"])
+    counts = R.partial_group_aggregate(orders, ["o_custkey"], sums={}, count_as="order_count")
+    cust = R.read_table(sf_dir, "customer", columns=["c_custkey"])
+    joined = R.hash_join(
+        cust, counts, on="c_custkey", right_on="o_custkey", join_type="left_outer"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "order_count": pc.coalesce(
+                    pc.cast(t["order_count"], pa.int64()), pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_user_activity_full_outer(sf_dir: str) -> Dataset:
+    """FULL OUTER join of two pre-aggregated streams (event counts per
+    user vs big-order counts per customer): rows survive from either
+    side, the engine coalesces the key into the left column, missing
+    counts become 0."""
+    ev = R.read_table(sf_dir, "events", columns=["user_id"])
+    nev = R.partial_group_aggregate(ev, ["user_id"], sums={}, count_as="n_events")
+    orders = R.read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = R.filter_arrow(orders, lambda t: pc.greater(t["o_totalprice"], 300000.0))
+    nord = R.partial_group_aggregate(big, ["o_custkey"], sums={}, count_as="n_big_orders")
+    joined = R.hash_join(
+        nev, nord, on="user_id", right_on="o_custkey", join_type="full_outer"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        z = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "n_events": pc.coalesce(pc.cast(t["n_events"], pa.int64()), z),
+                "n_big_orders": pc.coalesce(pc.cast(t["n_big_orders"], pa.int64()), z),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_revenue_rollup(sf_dir: str) -> Dataset:
+    """GROUP BY ROLLUP re-expressed for streaming: ONE pass over the
+    input computes the finest grouped aggregate; the subtotal and
+    grand-total levels re-aggregate that SMALL result (never the
+    input), and the three levels union with 'ALL' sentinels."""
+    ds = R.read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "revenue_cents": R.cents(t["l_extendedprice"]),
+            }
+        )
+
+    finest = R.partial_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        sums={"revenue_cents": "revenue_cents"},
+        count_as="item_count",
+    ).materialize()  # a handful of rows; reused by all three levels
+
+    def project(flag_all: bool, status_all: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            sentinel = lambda: pa.array(["ALL"] * n, pa.string())  # noqa: E731
+            return pa.table(
+                {
+                    "l_returnflag": sentinel() if flag_all else pc.cast(t["l_returnflag"], pa.string()),
+                    "l_linestatus": sentinel() if status_all else pc.cast(t["l_linestatus"], pa.string()),
+                    "revenue_cents": pc.cast(t["revenue_cents"], pa.int64()),
+                    "item_count": pc.cast(t["item_count"], pa.int64()),
+                }
+            )
+
+        return fn
+
+    sums = {"revenue_cents": ("sum", "revenue_cents"), "item_count": ("sum", "item_count")}
+    lvl2 = finest.map_batches(project(False, False), batch_format="pyarrow")
+    lvl1 = R.group_aggregate(finest, ["l_returnflag"], sums).map_batches(
+        project(False, True), batch_format="pyarrow"
+    )
+    grand = R.group_aggregate(
+        finest.map_batches(
+            lambda t: t.append_column("_all", pa.array(["ALL"] * t.num_rows)),
+            batch_format="pyarrow",
+        ),
+        ["_all"],
+        sums,
+    ).map_batches(project(True, True), batch_format="pyarrow")
+    return lvl2.union(lvl1, grand)
+
+
+_PIVOT_YEARS = (1996, 1997, 1998)
+
+
+def q_nation_year_revenue(sf_dir: str) -> Dataset:
+    """Pivot as conditional aggregation: per-batch masked cents columns
+    (one per pivot year, vectorized) then ONE narrow grouped sum — no
+    wide shuffle, no driver-side pivot."""
+    orders = R.read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"])
+    cust = R.read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = R.read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    small = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ]
+    joined = R.broadcast_join(orders, small, left_on="o_custkey", right_on="c_custkey")
+
+    def prep(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"])
+        cents = pc.cast(R.cents(t["o_totalprice"]), pa.int64())
+        cols: dict = {"n_name": t["n_name"]}
+        for y in _PIVOT_YEARS:
+            mask = pc.cast(pc.equal(yr, y), pa.int64())
+            cols[f"y{y}_cents"] = pc.multiply_checked(cents, mask)
+        return pa.table(cols)
+
+    prepped = joined.map_batches(prep, batch_format="pyarrow")
+    return R.partial_group_aggregate(
+        prepped, ["n_name"], sums={f"y{y}_cents": f"y{y}_cents" for y in _PIVOT_YEARS}
+    )
+
+
+def q_parts_both_bands(sf_dir: str) -> Dataset:
+    """Multi-key INTERSECT: distinct (brand, type) pairs appearing among
+    both small and large parts — two distinct streams meeting in the
+    engine's left_semi hash join."""
+    part = R.read_table(sf_dir, "part", columns=["p_brand", "p_type", "p_size"])
+    cols = ["p_brand", "p_type"]
+    small = R.distinct(R.filter_arrow(part, lambda t: pc.less(t["p_size"], 15)), cols)
+    large = R.distinct(R.filter_arrow(part, lambda t: pc.greater(t["p_size"], 35)), cols)
+    return R.hash_join(small, large, on=cols, join_type="left_semi")
+
+
+def q_segment_top_priority(sf_dir: str) -> Dataset:
+    """Grouped ARGMAX: the order priority carrying the highest revenue
+    per market segment — grouped sum first (small result), then a
+    per-group head(1) with a deterministic tie-break."""
+    orders = R.read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderpriority"]
+    )
+    cust = R.read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    joined = R.broadcast_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "o_orderpriority": t["o_orderpriority"],
+                "revenue_cents": R.cents(t["o_totalprice"]),
+            }
+        )
+
+    agg = R.partial_group_aggregate(
+        joined.map_batches(prep, batch_format="pyarrow"),
+        ["c_mktsegment", "o_orderpriority"],
+        sums={"revenue_cents": "revenue_cents"},
+    )
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["revenue_cents", "o_orderpriority"], ascending=[False, True], kind="mergesort"
+        ).head(1)
+
+    return agg.groupby("c_mktsegment").map_groups(top1, batch_format="pandas")
+
+
+def q_brand_price_rank(sf_dir: str) -> Dataset:
+    """RANK-with-ties window (distinct from row_number top-k: tied prices
+    share a rank, so a brand can emit >2 rows): rank <= 2 within brand
+    by price — brand-sharded shuffle, vectorized per-shard rank."""
+    part = R.read_table(sf_dir, "part", columns=["p_brand", "p_partkey", "p_retailprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "p_partkey": t["p_partkey"],
+                "price_cents": pc.cast(R.cents(t["p_retailprice"]), pa.int64()),
+            }
+        )
+
+    ds = part.map_batches(prep, batch_format="pyarrow")
+    n_shards = R.data_sized_shards(ds.count())
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_shard=R.shard_of(df["p_brand"], n_shards))
+
+    def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            price_rank=g.groupby("p_brand", sort=False)["price_cents"]
+            .rank(method="min", ascending=False)
+            .astype("int64")
+        )
+        return g[g["price_rank"] <= 2][["p_brand", "p_partkey", "price_cents", "price_rank"]]
+
+    return (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(rank_shard, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry + oracle SQL
 
 
@@ -607,6 +829,13 @@ QUERIES: dict[str, Callable[[str], Dataset]] = {
     "order_lineitem_join": q_order_lineitem_join,
     "top_orders_per_segment": q_top_orders_per_segment,
     "events_sliding_2h": q_events_sliding_2h,
+    "customer_order_counts": q_customer_order_counts,
+    "user_activity_full_outer": q_user_activity_full_outer,
+    "revenue_rollup": q_revenue_rollup,
+    "nation_year_revenue": q_nation_year_revenue,
+    "parts_both_bands": q_parts_both_bands,
+    "segment_top_priority": q_segment_top_priority,
+    "brand_price_rank": q_brand_price_rank,
 }
 
 
@@ -816,5 +1045,70 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(cents) AS BIGINT) AS value_cents_sum,
                COUNT(*) AS event_count
         FROM assigned GROUP BY event_type, window_start
+    """,
+    "customer_order_counts": """
+        SELECT c.c_custkey, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS order_count
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) o
+          ON c.c_custkey = o.o_custkey
+    """,
+    "user_activity_full_outer": """
+        SELECT CAST(COALESCE(e.user_id, o.o_custkey) AS BIGINT) AS user_id,
+               CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+               CAST(COALESCE(o.n_big, 0) AS BIGINT) AS n_big_orders
+        FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) e
+        FULL OUTER JOIN (
+            SELECT o_custkey, COUNT(*) AS n_big FROM orders
+            WHERE o_totalprice > 300000 GROUP BY o_custkey
+        ) o ON e.user_id = o.o_custkey
+    """,
+    "revenue_rollup": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               COUNT(*) AS item_count
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "nation_year_revenue": """
+        SELECT n_name,
+               CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                   THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y1996_cents,
+               CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+                   THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y1997_cents,
+               CAST(SUM(CASE WHEN year(o_orderdate) = 1998
+                   THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y1998_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "parts_both_bands": """
+        SELECT DISTINCT p_brand, p_type FROM part WHERE p_size < 15
+        INTERSECT
+        SELECT DISTINCT p_brand, p_type FROM part WHERE p_size > 35
+    """,
+    "segment_top_priority": """
+        SELECT c_mktsegment, o_orderpriority, revenue_cents FROM (
+            SELECT c_mktsegment, o_orderpriority,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY SUM(CAST(round(o_totalprice * 100) AS BIGINT)) DESC,
+                                o_orderpriority ASC
+                   ) AS rn
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, o_orderpriority
+        ) WHERE rn = 1
+    """,
+    "brand_price_rank": """
+        SELECT p_brand, p_partkey,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+               CAST(RANK() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY CAST(round(p_retailprice * 100) AS BIGINT) DESC
+               ) AS BIGINT) AS price_rank
+        FROM part
+        QUALIFY price_rank <= 2
     """,
 }

@@ -228,20 +228,29 @@ def broadcast_semi_join(ds: Dataset, keys: Iterable, on: str, anti: bool = False
 def hash_join(
     left: Dataset,
     right: Dataset,
-    on: str,
-    right_on: str | None = None,
+    on: str | Sequence[str],
+    right_on: str | Sequence[str] | None = None,
     num_partitions: int = 16,
     join_type: str = "inner",
 ) -> Dataset:
     """Both-sides-large join: Ray Data's hash-partitioned ``Dataset.join``
     (each side shuffles on the key; use ``broadcast_join`` when one side
-    fits in the object store instead)."""
+    fits in the object store instead). ``join_type`` passes through to
+    the engine: inner / left_outer / right_outer / full_outer /
+    left_semi / right_semi / left_anti / right_anti. Outer joins
+    COALESCE the key into the left key column; semi/anti return left
+    columns only. ``on`` accepts one key or a key tuple."""
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    if right_on is None:
+        right_t = None
+    else:
+        right_t = (right_on,) if isinstance(right_on, str) else tuple(right_on)
     return left.join(
         right,
         join_type=join_type,
         num_partitions=num_partitions,
-        on=(on,),
-        right_on=(right_on,) if right_on else None,
+        on=on_t,
+        right_on=right_t,
     )
 
 
