@@ -727,6 +727,43 @@ def q_parts_both_bands(sf_dir: str) -> Dataset:
     return R.hash_join(small, large, on=cols, join_type="left_semi")
 
 
+def q_priorities_only_1996(sf_dir: str) -> Dataset:
+    """Multi-key EXCEPT: (custkey, priority) pairs used in 1996 orders
+    and never outside 1996 — the engine's left_anti hash join over two
+    distinct streams (completing the set-op family: union / intersect /
+    except). The pair space scales with the data, so the result stays
+    non-degenerate at every scale (a part-attribute pair space
+    saturates by sf0.1 and EXCEPT collapses to empty)."""
+    orders = R.read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority", "o_orderdate"])
+    cols = ["o_custkey", "o_orderpriority"]
+    in96 = R.distinct(
+        R.filter_arrow(orders, lambda t: pc.equal(pc.year(t["o_orderdate"]), 1996)), cols
+    )
+    other = R.distinct(
+        R.filter_arrow(orders, lambda t: pc.not_equal(pc.year(t["o_orderdate"]), 1996)), cols
+    )
+    return R.hash_join(in96, other, on=cols, join_type="left_anti")
+
+
+def q_segment_priorities_list(sf_dir: str) -> Dataset:
+    """Order-sensitive grouped collect (string_agg): the sorted distinct
+    order priorities per market segment, comma-joined. Distinct first
+    (tiny result), then a per-group sorted join — the concat itself
+    never sees raw rows."""
+    orders = R.read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    cust = R.read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    joined = R.broadcast_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+    pairs = R.distinct(joined, ["c_mktsegment", "o_orderpriority"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(g["o_orderpriority"].tolist())
+        return pd.DataFrame(
+            [{"c_mktsegment": g["c_mktsegment"].iloc[0], "priorities": ",".join(vals)}]
+        )
+
+    return pairs.groupby("c_mktsegment").map_groups(agg, batch_format="pandas")
+
+
 def q_segment_top_priority(sf_dir: str) -> Dataset:
     """Grouped ARGMAX: the order priority carrying the highest revenue
     per market segment — grouped sum first (small result), then a
@@ -834,6 +871,8 @@ QUERIES: dict[str, Callable[[str], Dataset]] = {
     "revenue_rollup": q_revenue_rollup,
     "nation_year_revenue": q_nation_year_revenue,
     "parts_both_bands": q_parts_both_bands,
+    "priorities_only_1996": q_priorities_only_1996,
+    "segment_priorities_list": q_segment_priorities_list,
     "segment_top_priority": q_segment_top_priority,
     "brand_price_rank": q_brand_price_rank,
 }
@@ -1087,6 +1126,22 @@ ORACLE_SQL: dict[str, str] = {
         SELECT DISTINCT p_brand, p_type FROM part WHERE p_size < 15
         INTERSECT
         SELECT DISTINCT p_brand, p_type FROM part WHERE p_size > 35
+    """,
+    "priorities_only_1996": """
+        SELECT DISTINCT o_custkey, o_orderpriority FROM orders
+        WHERE year(o_orderdate) = 1996
+        EXCEPT
+        SELECT DISTINCT o_custkey, o_orderpriority FROM orders
+        WHERE year(o_orderdate) <> 1996
+    """,
+    "segment_priorities_list": """
+        SELECT c_mktsegment,
+               string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+        FROM (
+            SELECT DISTINCT c_mktsegment, o_orderpriority
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        GROUP BY c_mktsegment
     """,
     "segment_top_priority": """
         SELECT c_mktsegment, o_orderpriority, revenue_cents FROM (
