@@ -220,6 +220,9 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "dedup_keep_first",
     "corpus_prep",
+    # round-3 continuation: engine-join regression lines (outer + rollup)
+    "customer_order_counts",
+    "revenue_rollup",
 ]
 
 
