@@ -813,7 +813,10 @@ def q_brand_price_rank(sf_dir: str) -> Dataset:
         )
 
     ds = part.map_batches(prep, batch_format="pyarrow")
-    n_shards = R.data_sized_shards(ds.count())
+    # count the BARE read (metadata-served), not the derived lineage —
+    # prep is 1:1, and counting after the map would execute the whole
+    # read+prep a second time just to size the shards
+    n_shards = R.data_sized_shards(part.count())
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(_shard=R.shard_of(df["p_brand"], n_shards))

@@ -238,8 +238,9 @@ def hash_join(
     fits in the object store instead). ``join_type`` passes through to
     the engine: inner / left_outer / right_outer / full_outer /
     left_semi / right_semi / left_anti / right_anti. Outer joins
-    COALESCE the key into the left key column; semi/anti return left
-    columns only. ``on`` accepts one key or a key tuple."""
+    COALESCE the key into the left key column; left_semi/left_anti
+    return LEFT columns only, right_semi/right_anti RIGHT columns
+    only. ``on`` accepts one key or a key tuple."""
     on_t = (on,) if isinstance(on, str) else tuple(on)
     if right_on is None:
         right_t = None

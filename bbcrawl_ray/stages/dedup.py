@@ -1050,36 +1050,18 @@ _COLLAPSE_PROBE_P = 14
 def _approx_dup_rate(docs: Dataset, text_col: str) -> tuple[int, float]:
     """(row count, approximate exact-duplicate rate) in ONE map_batches
     pass — per block a 16 KiB HLL sketch over the 64-bit content hash
-    plus a row count, merged in a tiny driver reduce. No shuffle, and
-    unlike a key-space sample it SEES every row, so a single huge clone
-    family (the workload the collapse serves) cannot evade it."""
-    from .sampling import HllSketch
+    plus a row count, merged in a tiny driver reduce (the shared
+    ``hll_reduce`` protocol). No shuffle, and unlike a key-space sample
+    it SEES every row, so a single huge clone family (the workload the
+    collapse serves) cannot evade it."""
+    from .sampling import hll_reduce
 
-    p = _COLLAPSE_PROBE_P
-
-    def sketch_batch(t: pa.Table) -> pa.Table:
-        sk = HllSketch(p)
-        texts = t[text_col].to_pylist()
-        if texts:
-            ck1, _ = _content_key128(texts)
-            sk.add_hashes(ck1)
-        return pa.table(
-            {
-                "sketch": pa.array([sk.to_bytes()], pa.large_binary()),
-                "n": pa.array([len(texts)], pa.int64()),
-            }
-        )
-
-    merged, n = HllSketch(p), 0
-    for b in docs.map_batches(sketch_batch, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for blob, cnt in zip(b["sketch"].to_pylist(), b["n"].to_pylist()):
-            merged = merged.merge(HllSketch.from_bytes(p, blob))
-            n += cnt
+    n, est = hll_reduce(
+        docs, text_col, lambda texts: _content_key128(texts)[0], p=_COLLAPSE_PROBE_P
+    )
     if n == 0:
         return 0, 0.0
-    return n, max(0.0, 1.0 - min(float(n), merged.estimate()) / n)
+    return n, max(0.0, 1.0 - min(float(n), est) / n)
 
 
 def _adaptive_mapping(

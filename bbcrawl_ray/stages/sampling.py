@@ -136,6 +136,34 @@ class HllSketch:
         return cls(p, np.frombuffer(blob, dtype=np.uint8).copy())
 
 
+def hll_reduce(ds: Dataset, col: str, make_hashes, p: int = 12) -> tuple[int, float]:
+    """Shared HLL reduce protocol: one (serialized sketch, row count)
+    row per batch via map_batches, merged in a tiny driver loop.
+    ``make_hashes(values: list) -> np.ndarray[uint64]`` supplies the
+    hash; returns (total rows, distinct estimate)."""
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        sk = HllSketch(p)
+        vals = t[col].to_pylist()
+        if vals:
+            sk.add_hashes(make_hashes(vals))
+        return pa.table(
+            {
+                "sketch": pa.array([sk.to_bytes()], pa.large_binary()),
+                "n": pa.array([len(vals)], pa.int64()),
+            }
+        )
+
+    merged, n = HllSketch(p), 0
+    for b in ds.map_batches(sketch_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob, cnt in zip(b["sketch"].to_pylist(), b["n"].to_pylist()):
+            merged = merged.merge(HllSketch.from_bytes(p, blob))
+            n += int(cnt)
+    return n, merged.estimate()
+
+
 def approx_distinct(ds: Dataset, col: str, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT col): one serialized sketch per batch
     (map_batches), merged in a tiny driver reduce."""
@@ -143,20 +171,11 @@ def approx_distinct(ds: Dataset, col: str, p: int = 12) -> float:
     # one run, so the fast (version-unstable) hash is safe here
     from ..functions.urlfns import hash64_batch_fast
 
-    def sketch_batch(t: pa.Table) -> pa.Table:
-        sk = HllSketch(p)
-        vals = pc.cast(t[col], pa.string()).to_pylist()
-        if vals:
-            sk.add_hashes(hash64_batch_fast(vals))
-        return pa.table({"sketch": pa.array([sk.to_bytes()], pa.large_binary())})
+    def hashes(vals: list) -> "np.ndarray":
+        return hash64_batch_fast([str(v) for v in vals])
 
-    merged = HllSketch(p)
-    for b in ds.map_batches(sketch_batch, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for blob in b["sketch"].to_pylist():
-            merged = merged.merge(HllSketch.from_bytes(p, blob))
-    return merged.estimate()
+    _, est = hll_reduce(ds, col, hashes, p)
+    return est
 
 
 # ---------------------------------------------------------------------------
