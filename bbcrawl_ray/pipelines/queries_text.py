@@ -147,6 +147,23 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
     return D.ngram_jaccard_pairs(ds, n=3, threshold_num=1, threshold_den=2)
 
 
+def q_ngram_clusters(sf_dir: str) -> Dataset:
+    """ORACLE-BACKED connected components: min-label clusters over the
+    EXACT word-trigram Jaccard pair set. Because the input pairs are
+    exact (unlike the LSH-derived minhash pairs), the whole clustering
+    is SQL-expressible — the oracle walks the same edges with a
+    recursive CTE. Exercises ``cluster_propagate`` (the iterative
+    edges ⋈ labels propagation used by every dedup family) under a
+    value-hash gate, not just rows-only."""
+    from ..stages.dedup import cluster_propagate
+
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = D.ngram_jaccard_pairs(ds, n=3, threshold_num=1, threshold_den=2)
+    out = cluster_propagate(pairs.select_columns(["left_id", "right_id"]))
+    df = R.to_pandas_schema_safe(out)
+    return df.sort_values(["doc_id"]).reset_index(drop=True)
+
+
 def q_corpus_prep(sf_dir: str) -> Dataset:
     """Flagship COMPOSED training-data prep chain (oracle-backed): the
     sequence a real corpus build runs before tokenization —
@@ -440,6 +457,7 @@ TEXT_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_clusters": q_ngram_clusters,
     "corpus_prep": q_corpus_prep,
     "minhash_clusters": q_minhash_clusters,
     "minhash_clusters_distributed": q_minhash_clusters_distributed,
@@ -522,6 +540,39 @@ TEXT_ORACLE_SQL = {
         JOIN sizes s1 ON co.left_id = s1.doc_id
         JOIN sizes s2 ON co.right_id = s2.doc_id
         WHERE 2 * co.inter >= s1.n + s2.n - co.inter
+    """,
+    "ngram_clusters": r"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+            FROM toks, UNNEST(generate_series(1, len(a) - 2)) AS t(i)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        ), co AS (
+            SELECT g1.doc_id AS left_id, g2.doc_id AS right_id,
+                   count(*) AS inter
+            FROM grams g1 JOIN grams g2
+              ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT co.left_id, co.right_id
+            FROM co
+            JOIN sizes s1 ON co.left_id = s1.doc_id
+            JOIN sizes s2 ON co.right_id = s2.doc_id
+            WHERE 2 * co.inter >= s1.n + s2.n - co.inter
+        ), edges AS (
+            SELECT left_id AS a, right_id AS b FROM pairs
+            UNION
+            SELECT right_id, left_id FROM pairs
+        ), walk (node, label) AS (
+            SELECT a AS node, a AS label FROM edges
+            UNION
+            SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b
+        )
+        SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+        FROM walk GROUP BY node
     """,
     "corpus_prep": r"""
         WITH q AS (
