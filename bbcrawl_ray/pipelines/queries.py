@@ -468,6 +468,38 @@ def q_events_value_delta(sf_dir: str) -> Dataset:
     return sharded.groupby("_shard").map_groups(delta_shard, batch_format="pandas")
 
 
+def q_events_running_total(sf_dir: str) -> Dataset:
+    """Cumulative-sum window (running total): per user, the sum of all
+    event values at-or-before each event. Same shape as the lag window
+    — one coarse user-shard shuffle, vectorized per-user cumsum —
+    integer cents so the value-hash is exact."""
+    ds = R.read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_shards = R.data_sized_shards(ds.count())
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "cents": R.cents(t["value"]),
+            }
+        )
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_shard=R.shard_of(df["user_id"], n_shards))
+
+    def cumsum_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.assign(running_cents=g.groupby("user_id", sort=False)["cents"].cumsum())
+        return g[["event_id", "user_id", "running_cents"]]
+
+    sharded = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        add_shard, batch_format="pandas"
+    )
+    return sharded.groupby("_shard").map_groups(cumsum_shard, batch_format="pandas")
+
+
 def q_price_quantiles(sf_dir: str) -> Dataset:
     """EXACT grouped quantiles, distributed: the shuffle moves one
     (group, value, count) row per distinct cents value (value-count
@@ -861,6 +893,7 @@ QUERIES: dict[str, Callable[[str], Dataset]] = {
     "urgent_or_big_orders": q_urgent_or_big_orders,
     "shipdate_range": q_shipdate_range,
     "events_value_delta": q_events_value_delta,
+    "events_running_total": q_events_running_total,
     "price_quantiles": q_price_quantiles,
     "events_last_order": q_events_last_order,
     "quantity_bands": q_quantity_bands,
@@ -1005,6 +1038,14 @@ ORACLE_SQL: dict[str, str] = {
             FROM events)
         SELECT event_id, user_id, value - prev AS value_delta
         FROM d WHERE prev IS NOT NULL
+    """,
+    "events_running_total": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS running_cents
+        FROM events
     """,
     "price_quantiles": """
         WITH c AS (
