@@ -64,6 +64,13 @@ def base_url_only(url: str) -> str:
 
 def _request_uri(link: str) -> str:
     """Go ``url.URL.RequestURI()`` for a parsed link: path (or "/") + ?query."""
+    # fast path for the dominant case — a scheme-less plain path (with
+    # optional query): path?query IS the request-URI verbatim, no parse
+    # needed. Only protocol-relative links (//host/path, whose netloc
+    # must be dropped) and fragments (#f, which RequestURI strips) need
+    # the full split. Callers guarantee no scheme (is_abs checked).
+    if "#" not in link and not link.startswith(("//", "?")):
+        return link or "/"
     s = urlsplit(link)
     requri = s.path or "/"
     if s.query:

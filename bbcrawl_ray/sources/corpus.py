@@ -61,8 +61,27 @@ _WORDS = (
 ).split()
 
 
+# Deterministic sentence pools, one per length used by the generator:
+# picking a prebuilt sentence with ONE rng draw replaces n draws + a
+# join per sentence (the generator was ~15% of the fused fetch+parse
+# wall in the bench profile). Pages remain a pure function of
+# (url, cfg.seed); only the sentence text differs from the draw-per-
+# word scheme, which nothing golden-pins.
+_SENTENCE_POOL: dict[int, list[str]] = {}
+
+
+def _sentence_pool(n: int) -> list[str]:
+    pool = _SENTENCE_POOL.get(n)
+    if pool is None:
+        r = random.Random(0xC0FFEE ^ n)
+        pool = [" ".join(r.choice(_WORDS) for _ in range(n)) for _ in range(256)]
+        _SENTENCE_POOL[n] = pool
+    return pool
+
+
 def _sentence(rng: random.Random, n: int = 8) -> str:
-    return " ".join(rng.choice(_WORDS) for _ in range(n))
+    pool = _sentence_pool(n)
+    return pool[rng.randrange(256)]
 
 
 def synth_thread_html(url: str, cfg: CorpusConfig) -> str:

@@ -475,3 +475,27 @@ def test_asof_join_data_sized_shards_strings_and_skew(ray_session):
         oracle.sort_values(key_cols, kind="mergesort").reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_request_uri_fast_path_parity():
+    """The scheme-less fast path in _request_uri must agree with the
+    full urlsplit parse on every link shape rel2abs can receive
+    (protocol-relative and fragment links take the slow path)."""
+    from urllib.parse import urlsplit
+
+    from bbcrawl_ray.functions.urlfns import _request_uri
+
+    def slow(link: str) -> str:
+        s = urlsplit(link)
+        requri = s.path or "/"
+        if s.query:
+            requri += "?" + s.query
+        return requri
+
+    cases = [
+        "", "/", "a", "a/b", "/a/b", "a?x=1", "/a?x=1&y=2", "a#frag",
+        "/a/b#c", "//host/path", "//host/path?q=2", "?onlyquery",
+        "p;params", "a%20b/c", "./rel", "../up", "#only", "a?b#c",
+    ]
+    for link in cases:
+        assert _request_uri(link) == slow(link), link
