@@ -65,11 +65,22 @@ def base_url_only(url: str) -> str:
 def _request_uri(link: str) -> str:
     """Go ``url.URL.RequestURI()`` for a parsed link: path (or "/") + ?query."""
     # fast path for the dominant case — a scheme-less plain path (with
-    # optional query): path?query IS the request-URI verbatim, no parse
-    # needed. Only protocol-relative links (//host/path, whose netloc
-    # must be dropped) and fragments (#f, which RequestURI strips) need
-    # the full split. Callers guarantee no scheme (is_abs checked).
-    if "#" not in link and not link.startswith(("//", "?")):
+    # optional non-empty query): path?query IS the request-URI verbatim,
+    # no parse needed. The full split handles everything urlsplit
+    # normalizes: protocol-relative links (//host — netloc dropped),
+    # fragments (#f — stripped), a trailing empty query ('a?' → 'a'),
+    # embedded tab/CR/LF (removed anywhere), and leading/trailing C0
+    # control or space (stripped). Callers guarantee no scheme
+    # (is_abs checked).
+    if (
+        "#" not in link
+        and "\t" not in link
+        and "\n" not in link
+        and "\r" not in link
+        and not link.startswith(("//", "?"))
+        and not link.endswith("?")
+        and (not link or (link[0] > " " and link[-1] > " "))
+    ):
         return link or "/"
     s = urlsplit(link)
     requri = s.path or "/"

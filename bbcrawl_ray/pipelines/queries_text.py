@@ -147,7 +147,7 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
     return D.ngram_jaccard_pairs(ds, n=3, threshold_num=1, threshold_den=2)
 
 
-def q_ngram_clusters(sf_dir: str) -> Dataset:
+def q_ngram_clusters(sf_dir: str) -> pd.DataFrame:
     """ORACLE-BACKED connected components: min-label clusters over the
     EXACT word-trigram Jaccard pair set. Because the input pairs are
     exact (unlike the LSH-derived minhash pairs), the whole clustering
@@ -155,11 +155,9 @@ def q_ngram_clusters(sf_dir: str) -> Dataset:
     recursive CTE. Exercises ``cluster_propagate`` (the iterative
     edges ⋈ labels propagation used by every dedup family) under a
     value-hash gate, not just rows-only."""
-    from ..stages.dedup import cluster_propagate
-
     ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = D.ngram_jaccard_pairs(ds, n=3, threshold_num=1, threshold_den=2)
-    out = cluster_propagate(pairs.select_columns(["left_id", "right_id"]))
+    out = D.cluster_propagate(pairs.select_columns(["left_id", "right_id"]))
     df = R.to_pandas_schema_safe(out)
     return df.sort_values(["doc_id"]).reset_index(drop=True)
 
@@ -477,6 +475,25 @@ TEXT_QUERIES = {
 _BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 _STOP_SQL = r"\b(" + "|".join(T._STOPWORDS) + r")\b"
 
+# shared CTE prefix: the exact word-trigram pair machinery, used by the
+# pair query AND the clusters query (one source of truth — tokenization
+# or threshold changes edit ONE place and both oracles move together)
+_NGRAM_CTE_PREFIX = r"""toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+            FROM toks, UNNEST(generate_series(1, len(a) - 2)) AS t(i)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        ), co AS (
+            SELECT g1.doc_id AS left_id, g2.doc_id AS right_id,
+                   count(*) AS inter
+            FROM grams g1 JOIN grams g2
+              ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+            GROUP BY 1, 2
+        )"""
+
 TEXT_ORACLE_SQL = {
     "token_counts": r"""
         SELECT doc_id,
@@ -518,22 +535,8 @@ TEXT_ORACLE_SQL = {
             FROM documents
         ) WHERE rn = 1
     """,
-    "ngram_jaccard_pairs": r"""
-        WITH toks AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
-            FROM documents
-        ), grams AS (
-            SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
-            FROM toks, UNNEST(generate_series(1, len(a) - 2)) AS t(i)
-        ), sizes AS (
-            SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
-        ), co AS (
-            SELECT g1.doc_id AS left_id, g2.doc_id AS right_id,
-                   count(*) AS inter
-            FROM grams g1 JOIN grams g2
-              ON g1.g = g2.g AND g1.doc_id < g2.doc_id
-            GROUP BY 1, 2
-        )
+    "ngram_jaccard_pairs": rf"""
+        WITH {_NGRAM_CTE_PREFIX}
         SELECT co.left_id, co.right_id, CAST(co.inter AS BIGINT) AS inter,
                CAST(s1.n + s2.n - co.inter AS BIGINT) AS union_n
         FROM co
@@ -541,22 +544,8 @@ TEXT_ORACLE_SQL = {
         JOIN sizes s2 ON co.right_id = s2.doc_id
         WHERE 2 * co.inter >= s1.n + s2.n - co.inter
     """,
-    "ngram_clusters": r"""
-        WITH RECURSIVE toks AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
-            FROM documents
-        ), grams AS (
-            SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
-            FROM toks, UNNEST(generate_series(1, len(a) - 2)) AS t(i)
-        ), sizes AS (
-            SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
-        ), co AS (
-            SELECT g1.doc_id AS left_id, g2.doc_id AS right_id,
-                   count(*) AS inter
-            FROM grams g1 JOIN grams g2
-              ON g1.g = g2.g AND g1.doc_id < g2.doc_id
-            GROUP BY 1, 2
-        ), pairs AS (
+    "ngram_clusters": rf"""
+        WITH RECURSIVE {_NGRAM_CTE_PREFIX}, pairs AS (
             SELECT co.left_id, co.right_id
             FROM co
             JOIN sizes s1 ON co.left_id = s1.doc_id

@@ -81,7 +81,7 @@ def _sentence_pool(n: int) -> list[str]:
 
 def _sentence(rng: random.Random, n: int = 8) -> str:
     pool = _sentence_pool(n)
-    return pool[rng.randrange(256)]
+    return pool[rng.randrange(len(pool))]
 
 
 def synth_thread_html(url: str, cfg: CorpusConfig) -> str:

@@ -496,6 +496,11 @@ def test_request_uri_fast_path_parity():
         "", "/", "a", "a/b", "/a/b", "a?x=1", "/a?x=1&y=2", "a#frag",
         "/a/b#c", "//host/path", "//host/path?q=2", "?onlyquery",
         "p;params", "a%20b/c", "./rel", "../up", "#only", "a?b#c",
+        # shapes urlsplit normalizes that MUST take the slow path:
+        # trailing empty query, embedded tab/CR/LF (removed anywhere),
+        # leading/trailing space or C0 control (stripped)
+        "a?", "/a?", "a\tb", "a\nb", "a\rb", " a", "a ", "\x01a", "a\x1f",
+        " a?x=1 ", "\ta\t",
     ]
     for link in cases:
         assert _request_uri(link) == slow(link), link
