@@ -36,6 +36,55 @@ def q_quality_counts(sf_dir: str) -> Dataset:
     ).drop_columns(["text"])
 
 
+def q_repetition_signals(sf_dir: str) -> Dataset:
+    """Gopher-style per-doc repetition/diversity ratios (distinct-token
+    ratio, distinct-bigram ratio, modal-token fraction) — the quality
+    filters a training-data prep pipeline thresholds on. One streaming
+    pass, no shuffle; tokens stay Arrow/numpy end to end."""
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: T.repetition_signals_batch(t), batch_format="pyarrow"
+    )
+
+
+def q_common_token_fraction(sf_dir: str) -> Dataset:
+    """Per-doc fraction of token occurrences drawn from the corpus-global
+    top-20 tokens. Two-stage broadcast pattern: the heavy-hitter set is
+    computed once (combiner-style, see ``q_top_tokens``), lands on the
+    driver as 20 strings, and ships to every fetch task inside the
+    closure — the per-doc pass is then a single shuffle-free
+    ``map_batches`` with a C++ ``is_in`` membership kernel. At corpus
+    scale only the constant-size top-k ever leaves the cluster."""
+    top = sorted(q_top_tokens(sf_dir).to_pandas()["token"].tolist())
+    top_arr = pa.array(top, pa.string())
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def frac(t: pa.Table) -> pa.Table:
+        n_docs = t.num_rows
+        lists = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        common = pc.is_in(flat, value_set=top_arr).to_numpy(zero_copy_only=False)
+        n_tokens = np.bincount(parent[keep], minlength=n_docs).astype(np.int64)
+        n_common = np.bincount(parent[keep & common], minlength=n_docs).astype(
+            np.int64
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fraction = np.where(n_tokens > 0, n_common / n_tokens, np.nan)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_common": pa.array(n_common, pa.int64()),
+                "common_token_fraction": pa.array(fraction, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(frac, batch_format="pyarrow")
+
+
 def q_lang_detect(sf_dir: str) -> Dataset:
     """Heuristic langid (rows-only: not SQL-expressible)."""
     ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -449,6 +498,8 @@ def q_crawl_documents(sf_dir: str) -> Dataset:
 TEXT_QUERIES = {
     "token_counts": q_token_counts,
     "quality_counts": q_quality_counts,
+    "repetition_signals": q_repetition_signals,
+    "common_token_fraction": q_common_token_fraction,
     "lang_detect": q_lang_detect,
     "doc_fingerprints": q_doc_fingerprints,
     "top_tokens": q_top_tokens,
@@ -511,6 +562,66 @@ TEXT_ORACLE_SQL = {
                length(regexp_extract_all(lower(text), '{stop}')) AS n_stopwords
         FROM documents
     """.replace("{stop}", _STOP_SQL),
+    "repetition_signals": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+            FROM documents
+        ), flat AS (
+            SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS i
+            FROM toks
+        ), f AS (
+            SELECT * FROM flat WHERE tok <> ''
+        ), big AS (
+            SELECT doc_id, tok,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+            FROM f
+        ), stats AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   count(DISTINCT tok) AS n_distinct
+            FROM f GROUP BY doc_id
+        ), tops AS (
+            SELECT doc_id, max(c) AS top_c FROM (
+                SELECT doc_id, tok, count(*) AS c FROM f GROUP BY doc_id, tok
+            ) GROUP BY doc_id
+        ), bstats AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   count(DISTINCT tok || ' ' || nxt) AS n_distinct_big
+            FROM big WHERE nxt IS NOT NULL GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(s.n_distinct AS DOUBLE) / s.n_tokens AS distinct_token_ratio,
+               CAST(b.n_distinct_big AS DOUBLE) / b.n_bigrams
+                   AS distinct_bigram_ratio,
+               CAST(t.top_c AS DOUBLE) / s.n_tokens AS top_token_fraction
+        FROM documents d
+        LEFT JOIN stats s USING (doc_id)
+        LEFT JOIN tops t USING (doc_id)
+        LEFT JOIN bstats b USING (doc_id)
+    """,
+    "common_token_fraction": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+            FROM documents
+        ), f AS (
+            SELECT doc_id, unnest(a) AS tok FROM toks
+        ), fne AS (
+            SELECT * FROM f WHERE tok <> ''
+        ), top AS (
+            SELECT tok FROM fne GROUP BY tok
+            ORDER BY count(*) DESC, tok ASC LIMIT 20
+        ), st AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   count(*) FILTER (WHERE tok IN (SELECT tok FROM top))
+                       AS n_common
+            FROM fne GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(st.n_common, 0) AS BIGINT) AS n_common,
+               CAST(st.n_common AS DOUBLE) / st.n_tokens
+                   AS common_token_fraction
+        FROM documents d LEFT JOIN st USING (doc_id)
+    """,
     "top_tokens": r"""
         WITH toks AS (
             SELECT unnest(regexp_split_to_array(text, '\s+')) AS token

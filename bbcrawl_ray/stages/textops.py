@@ -13,6 +13,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -210,3 +211,88 @@ def fingerprint_batch(texts: list[str], window: int = 5) -> np.ndarray:
 def add_fingerprint(t: pa.Table, col: str = "text", window: int = 5) -> pa.Table:
     fps = fingerprint_batch(t[col].to_pylist(), window)
     return t.append_column("fingerprint", pa.array(fps, pa.uint64()))
+
+
+# ---------------------------------------------------------------------------
+# repetition signals — Gopher-style per-doc repetition/diversity ratios
+# (Rae et al. 2021 §A1.1 use duplicate-n-gram fractions as quality
+# filters). All-vectorized: tokens never become Python strings — Arrow
+# splits + dictionary-encodes, numpy/pandas do the grouped counting.
+
+
+def repetition_signals_batch(
+    t: pa.Table, id_col: str = "doc_id", col: str = "text"
+) -> pa.Table:
+    """Per-doc repetition/diversity signals over whitespace tokens:
+
+    - ``n_tokens``            total tokens (int64)
+    - ``distinct_token_ratio``  distinct/total tokens
+    - ``distinct_bigram_ratio`` distinct/total adjacent bigrams
+    - ``top_token_fraction``    occurrences of the modal token / total
+
+    Ratios are NaN where the denominator is 0 (empty doc, or <2 tokens
+    for the bigram ratio) — mirroring SQL NULL-on-missing join rows.
+    Token identity is resolved by ``pc.dictionary_encode`` (C++), so no
+    per-token Python object is ever created; bigram distinctness uses
+    two-column drop_duplicates (no hash-combine overflow risk)."""
+    n_docs = t.num_rows
+    # RE2 \s+ split (not utf8_split_whitespace): DuckDB's
+    # regexp_split_to_array uses RE2's ASCII \s, so exotic Unicode
+    # whitespace must tokenize identically on both sides of the oracle
+    lists = pc.split_pattern_regex(t[col], pattern=r"\s+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    parent = parent.astype(np.int64, copy=False)
+    # splitting "" (or leading/trailing whitespace) yields "" tokens:
+    # drop them so counts match str.split() / the SQL tok <> '' filter
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    codes = (
+        pc.dictionary_encode(flat)
+        .indices.to_numpy(zero_copy_only=False)
+        .astype(np.int64, copy=False)
+    )
+    parent = parent[keep]
+    codes = codes[keep]
+
+    n_tokens = np.bincount(parent, minlength=n_docs).astype(np.int64)
+
+    df = pd.DataFrame({"d": parent, "c": codes})
+    per_tok = df.groupby(["d", "c"], sort=False).size()
+    n_distinct = np.zeros(n_docs, np.int64)
+    top_c = np.zeros(n_docs, np.int64)
+    if len(per_tok):
+        by_doc = per_tok.groupby(level=0)
+        dist = by_doc.size()
+        n_distinct[dist.index.to_numpy()] = dist.to_numpy()
+        top = by_doc.max()
+        top_c[top.index.to_numpy()] = top.to_numpy()
+
+    # adjacent bigrams: positions i, i+1 in the same doc (the flattened
+    # arrays are in (doc, position) order by construction)
+    same = parent[1:] == parent[:-1]
+    bd = parent[1:][same]
+    n_bigrams = np.bincount(bd, minlength=n_docs).astype(np.int64)
+    bdf = pd.DataFrame({"d": bd, "a": codes[:-1][same], "b": codes[1:][same]})
+    n_distinct_big = np.zeros(n_docs, np.int64)
+    if len(bdf):
+        bdist = bdf.drop_duplicates().groupby("d", sort=False).size()
+        n_distinct_big[bdist.index.to_numpy()] = bdist.to_numpy()
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # int/int float64 division is correctly rounded IEEE — bit-equal
+        # to DuckDB's CAST(... AS DOUBLE)/... on the same integers
+        tok_ratio = np.where(n_tokens > 0, n_distinct / n_tokens, np.nan)
+        big_ratio = np.where(n_bigrams > 0, n_distinct_big / n_bigrams, np.nan)
+        top_frac = np.where(n_tokens > 0, top_c / n_tokens, np.nan)
+
+    return pa.table(
+        {
+            id_col: t[id_col],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "distinct_token_ratio": pa.array(tok_ratio, pa.float64()),
+            "distinct_bigram_ratio": pa.array(big_ratio, pa.float64()),
+            "top_token_fraction": pa.array(top_frac, pa.float64()),
+        }
+    )

@@ -63,3 +63,63 @@ def test_fingerprint_batch_matches_scalar():
     batch = T.fingerprint_batch(texts)
     scalar = np.array([T.fingerprint(x) for x in texts], dtype=np.uint64)
     assert (batch == scalar).all()
+
+
+def test_repetition_signals_scalar_parity():
+    """Vectorized signals vs a straightforward per-doc Python reference."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    texts = [
+        "a b a b c",
+        "x x x x",
+        "",
+        "solo",
+        "  leading and trailing  ",
+        "tab\tand\nnewline separated toks",
+        "p q r s t u v w",
+        ("rep " * 50).strip(),
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = T.repetition_signals_batch(t).to_pandas()
+
+    for i, txt in enumerate(texts):
+        toks = txt.split()
+        n = len(toks)
+        row = out.iloc[i]
+        assert row["n_tokens"] == n
+        if n == 0:
+            assert math.isnan(row["distinct_token_ratio"])
+            assert math.isnan(row["top_token_fraction"])
+        else:
+            assert row["distinct_token_ratio"] == len(set(toks)) / n
+            top = max(toks.count(x) for x in set(toks))
+            assert row["top_token_fraction"] == top / n
+        bigrams = [(toks[j], toks[j + 1]) for j in range(n - 1)]
+        if not bigrams:
+            assert math.isnan(row["distinct_bigram_ratio"])
+        else:
+            assert row["distinct_bigram_ratio"] == len(set(bigrams)) / len(bigrams)
+    assert out["n_tokens"].dtype == np.int64
+
+
+def test_repetition_signals_batch_boundary_independence():
+    """Signals are per-doc: computing docs in one batch or two must agree
+    (guards the flattened-array bigram masking at block boundaries)."""
+    import pyarrow as pa
+
+    texts = ["a b c a", "c a c a c", "b b"]
+    whole = T.repetition_signals_batch(
+        pa.table({"doc_id": [0, 1, 2], "text": texts})
+    ).to_pandas()
+    parts = [
+        T.repetition_signals_batch(
+            pa.table({"doc_id": [i], "text": [texts[i]]})
+        ).to_pandas()
+        for i in range(3)
+    ]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(whole, pd.concat(parts, ignore_index=True))
