@@ -1290,12 +1290,17 @@ def _ngram_pairs_core(
         # XORed constants cancelled symmetric windows for n ≥ 4 —
         # ('x b c x' vs 'y b c y' hashed equal because positions 0 and
         # 3 shared a constant and XOR annihilated them.
-        pows = np.ones(n, dtype=np.uint64)
-        for j in range(1, n):
-            pows[j] = pows[j - 1] * _SHINGLE_BASE  # uint64 wrap-around
-        gram = np.zeros(len(th) - n + 1, dtype=np.uint64)
-        for j in range(n):
-            gram += th[j : len(th) - n + 1 + j] * pows[n - 1 - j]
+        # powers in Python ints masked to 64 bits: numpy's uint64 scalar
+        # multiply wraps identically but emits a RuntimeWarning per call
+        # that floods worker logs at corpus scale
+        pows = np.array(
+            [pow(int(_SHINGLE_BASE), j, 1 << 64) for j in range(n)],
+            dtype=np.uint64,
+        )
+        with np.errstate(over="ignore"):
+            gram = np.zeros(len(th) - n + 1, dtype=np.uint64)
+            for j in range(n):
+                gram += th[j : len(th) - n + 1 + j] * pows[n - 1 - j]
         valid = parents[: len(gram)] == parents[n - 1 :]
         doc_idx = parents[: len(gram)][valid]
         df = pd.DataFrame({"g": gram[valid], "_i": doc_idx}).drop_duplicates()
