@@ -465,6 +465,52 @@ def q_approx_distinct(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_approx_quantiles(sf_dir: str) -> pd.DataFrame:
+    """KLL quantile-sketch estimates next to exact rank-select quantiles
+    over lineitem price cents (rows-only: the sketch is approximate by
+    design; ``rank_err`` is the realized rank error of each estimate).
+    The sketch path moves only O(k) floats per batch; the exact path
+    reuses the value-count trick from ``price_quantiles`` — one row per
+    DISTINCT cents value reaches the driver, bounded by the price range,
+    not the row count."""
+    import math
+
+    from ..stages.sampling import approx_quantiles
+
+    ds = R.read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    cents_ds = ds.map_batches(
+        lambda t: pa.table(
+            {"cents": pc.cast(R.cents(t["l_extendedprice"]), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    est = approx_quantiles(cents_ds, "cents", qs)
+
+    counts = (
+        R.partial_group_aggregate(cents_ds, ["cents"], sums={}, count_as="cnt")
+        .to_pandas()
+        .sort_values("cents")
+    )
+    cum = counts["cnt"].cumsum().to_numpy()
+    vals = counts["cents"].to_numpy()
+    n = int(cum[-1])
+    rows = []
+    for q, e in zip(qs, est):
+        exact = int(vals[(cum >= math.ceil(q * n)).argmax()])
+        idx = int(np.searchsorted(vals, e, side="right"))
+        realized = (cum[idx - 1] / n) if idx > 0 else 0.0
+        rows.append(
+            {
+                "q": q,
+                "exact_cents": exact,
+                "kll_cents": float(e),
+                "rank_err": float(abs(realized - q)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 # ---------------------------------------------------------------------------
 # crawl pipelines as driver entries (rows-only; not SQL-expressible)
 
@@ -521,6 +567,7 @@ TEXT_QUERIES = {
     "read_seeds": q_read_seeds,
     "approx_distinct": q_approx_distinct,
     "approx_token_freq": q_approx_token_freq,
+    "approx_quantiles": q_approx_quantiles,
 }
 
 _BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

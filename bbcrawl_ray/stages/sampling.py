@@ -265,3 +265,133 @@ def approx_token_counts(
             merged = merged.merge(CountMinSketch.from_bytes(width, depth, blob))
     est = merged.estimate_hashes(hash64_batch_fast(probe_tokens))
     return dict(zip(probe_tokens, (int(x) for x in est)))
+
+
+class KllSketch:
+    """KLL-style mergeable quantile sketch (Karnin-Lang-Liberty 2016,
+    simplified full-level compaction): values live in levels where an
+    item at level i represents 2^i originals; an over-capacity level is
+    sorted and every other item promoted. Rank error is O(1/k); k=200
+    keeps it under ~1% in practice. Mergeable (level-wise concat +
+    recompress), serializable — only the fixed-size sketch ever moves,
+    like ``HllSketch`` / ``CountMinSketch``. The compaction coin is a
+    deterministic LCG so runs are reproducible."""
+
+    _LCG_A = 6364136223846793005
+    _LCG_C = 1442695040888963407
+    _M64 = (1 << 64) - 1
+
+    def __init__(self, k: int = 200, levels: list[np.ndarray] | None = None,
+                 coin: int = 0x9E3779B97F4A7C15):
+        self.k = k
+        self.levels = levels if levels is not None else [np.empty(0, np.float64)]
+        self._coin = coin
+
+    def _capacity(self, lvl: int) -> int:
+        # top level holds k, each lower level two-thirds of the one above
+        depth = len(self.levels) - 1 - lvl
+        return max(int(np.ceil(self.k * (2.0 / 3.0) ** depth)), 2)
+
+    def _flip(self) -> int:
+        self._coin = (self._coin * self._LCG_A + self._LCG_C) & self._M64
+        return (self._coin >> 32) & 1
+
+    def _compress(self) -> None:
+        while True:
+            for lvl, arr in enumerate(self.levels):
+                if len(arr) <= self._capacity(lvl):
+                    continue
+                arr = np.sort(arr)
+                kept = arr[self._flip():: 2]
+                if lvl + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                self.levels[lvl + 1] = np.concatenate([self.levels[lvl + 1], kept])
+                self.levels[lvl] = np.empty(0, np.float64)
+                break
+            else:
+                return
+
+    def add(self, vals: np.ndarray) -> None:
+        vals = np.asarray(vals, np.float64)
+        vals = vals[~np.isnan(vals)]
+        if len(vals):
+            self.levels[0] = np.concatenate([self.levels[0], vals])
+            self._compress()
+
+    def merge(self, other: "KllSketch") -> "KllSketch":
+        assert self.k == other.k
+        n = max(len(self.levels), len(other.levels))
+        levels = []
+        for i in range(n):
+            a = self.levels[i] if i < len(self.levels) else np.empty(0, np.float64)
+            b = other.levels[i] if i < len(other.levels) else np.empty(0, np.float64)
+            levels.append(np.concatenate([a, b]))
+        out = KllSketch(self.k, levels, self._coin ^ other._coin)
+        out._compress()
+        return out
+
+    def n_stored(self) -> int:
+        return sum(len(a) for a in self.levels)
+
+    def quantiles(self, qs: list[float]) -> np.ndarray:
+        """Estimated value at each rank-quantile q (NaN if empty)."""
+        vals = np.concatenate(self.levels) if self.levels else np.empty(0)
+        if not len(vals):
+            return np.full(len(qs), np.nan)
+        weights = np.concatenate(
+            [np.full(len(a), 1 << i, np.float64) for i, a in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="mergesort")
+        vals, weights = vals[order], weights[order]
+        cum = np.cumsum(weights)
+        total = cum[-1]
+        out = np.empty(len(qs), np.float64)
+        for j, q in enumerate(qs):
+            target = min(max(q, 0.0), 1.0) * total
+            out[j] = vals[min(int(np.searchsorted(cum, target)), len(vals) - 1)]
+        return out
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        head = struct.pack("<Qq", self._coin & self._M64, len(self.levels))
+        lens = struct.pack(f"<{len(self.levels)}q", *[len(a) for a in self.levels])
+        return head + lens + b"".join(
+            np.ascontiguousarray(a, np.float64).tobytes() for a in self.levels
+        )
+
+    @classmethod
+    def from_bytes(cls, k: int, blob: bytes) -> "KllSketch":
+        import struct
+
+        coin, n = struct.unpack_from("<Qq", blob, 0)
+        lens = struct.unpack_from(f"<{n}q", blob, 16)
+        off = 16 + 8 * n
+        levels = []
+        for ln in lens:
+            levels.append(np.frombuffer(blob, np.float64, ln, off).copy())
+            off += 8 * ln
+        return cls(k, levels, coin & cls._M64)
+
+
+def approx_quantiles(
+    ds: Dataset, col: str, qs: list[float], k: int = 200
+) -> np.ndarray:
+    """Approximate quantiles of ``col``: one KLL sketch per batch
+    (map_batches), merged in a tiny driver reduce. Only k-size sketches
+    move — the value stream never leaves its block. At any corpus size
+    the driver holds O(batches × k) floats transiently and O(k) after
+    the fold."""
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        sk = KllSketch(k)
+        sk.add(t[col].to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"sketch": pa.array([sk.to_bytes()], pa.large_binary())})
+
+    merged = KllSketch(k)
+    for b in ds.map_batches(sketch_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in b["sketch"].to_pylist():
+            merged = merged.merge(KllSketch.from_bytes(k, blob))
+    return merged.quantiles(qs)

@@ -94,3 +94,57 @@ def test_approx_token_counts(ray_session):
     assert est["the"] >= 150 and est["fox"] >= 100
     assert est["the"] <= 160 and est["fox"] <= 110  # tiny corpus: near-exact
     assert est["missing"] <= 5
+
+
+def test_kll_rank_error_bound():
+    """Merged-sketch quantile estimates stay within 1.5% rank error on a
+    200k-value stream split across 64 sketches (KLL k=200 gives ~1%)."""
+    import numpy as np
+
+    from bbcrawl_ray.stages.sampling import KllSketch
+
+    rng = np.random.default_rng(7)
+    data = rng.normal(100, 25, 200_000)
+    merged = KllSketch(200)
+    for part in np.array_split(data, 64):
+        sk = KllSketch(200)
+        sk.add(part)
+        # round-trip through bytes: the merge path always sees
+        # deserialized sketches in the Dataset reduce
+        merged = merged.merge(KllSketch.from_bytes(200, sk.to_bytes()))
+    qs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = merged.quantiles(qs)
+    sorted_d = np.sort(data)
+    for q, e in zip(qs, est):
+        realized = np.searchsorted(sorted_d, e) / len(data)
+        assert abs(realized - q) < 0.015, (q, e, realized)
+    # sketch stays O(k log n), nowhere near the stream size
+    assert merged.n_stored() < 3000
+
+
+def test_kll_deterministic_and_empty():
+    import numpy as np
+
+    from bbcrawl_ray.stages.sampling import KllSketch
+
+    data = np.arange(10_000, dtype=np.float64)
+    a, b = KllSketch(100), KllSketch(100)
+    a.add(data)
+    b.add(data)
+    assert (a.quantiles([0.1, 0.5, 0.9]) == b.quantiles([0.1, 0.5, 0.9])).all()
+    empty = KllSketch(100)
+    assert np.isnan(empty.quantiles([0.5])).all()
+    # NaN inputs are dropped, not propagated
+    c = KllSketch(100)
+    c.add(np.array([np.nan, 1.0, 2.0, 3.0, np.nan]))
+    assert c.n_stored() == 3
+
+
+def test_approx_quantiles_entry(ray_session, sf_dir):
+    from bbcrawl_ray.pipelines.queries_text import q_approx_quantiles
+
+    out = q_approx_quantiles(sf_dir)
+    assert list(out.columns) == ["q", "exact_cents", "kll_cents", "rank_err"]
+    assert len(out) == 5
+    # realized rank error within the sketch's design bound
+    assert (out["rank_err"] < 0.02).all(), out
