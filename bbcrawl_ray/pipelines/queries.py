@@ -874,6 +874,90 @@ def q_brand_price_rank(sf_dir: str) -> Dataset:
 
 from .queries_text import TEXT_ORACLE_SQL, TEXT_QUERIES  # noqa: E402
 
+def q_nation_revenue(sf_dir: str) -> Dataset:
+    """TPC-H Q5-shaped five-table join: local-supply revenue by ASIA
+    nation for 1996 orders — the deepest join composition in the suite.
+    Join strategy by side size: region⋈nation folds on the driver
+    (constant), the supplier map broadcasts once (true dimension
+    table), customer ⋈ orders and lineitem ⋈ orders run as both-sides
+    hash joins (both fact-sized at corpus scale). The discount arithmetic stays integer (cents ×
+    (100 − disc%), the ``revenue_milli`` convention) so the grouped sum
+    is order-independent and hash-exact vs the SQL oracle."""
+    nation = R.read_table(sf_dir, "nation").to_pandas()
+    region = R.read_table(sf_dir, "region").to_pandas()
+    asia = nation.merge(
+        region[region["r_name"] == "ASIA"],
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+    )[["n_nationkey", "n_name"]]
+
+    orders = R.read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey"],
+        filter_expr=(
+            (pc.field("o_orderdate") >= pa.scalar(pd.Timestamp("1996-01-01")))
+            & (pc.field("o_orderdate") < pa.scalar(pd.Timestamp("1997-01-01")))
+        ),
+    )
+    # customer is NOT a dimension table at corpus scale: filter it to
+    # ASIA nations (constant-size value set, no shuffle) and hash-join
+    # it against the date-filtered orders — both sides shuffled on the
+    # key, nothing customer-sized ever broadcast
+    asia_keys = pa.array(asia["n_nationkey"].tolist())
+    cust = R.read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust_asia = R.filter_arrow(
+        cust, lambda t: pc.is_in(t["c_nationkey"], value_set=asia_keys)
+    )
+    orders_n = R.hash_join(
+        orders, cust_asia, on="o_custkey", right_on="c_custkey"
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    li = R.read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc_pct = R.cents(t["l_discount"])  # 0.05 → 5
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "revenue_milli": pc.multiply(
+                    R.cents(t["l_extendedprice"]),
+                    pc.subtract(pa.scalar(100, pa.int64()), disc_pct),
+                ),
+            }
+        )
+
+    joined = R.hash_join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        orders_n,
+        on="l_orderkey",
+        right_on="o_orderkey",
+    )
+
+    supp = R.read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    local = R.broadcast_join(
+        joined, supp, left_on="l_suppkey", right_on="s_suppkey"
+    )
+    # "local supply": the supplying nation is the customer's nation
+    local = R.filter_arrow(
+        local, lambda t: pc.equal(t["s_nationkey"], t["c_nationkey"])
+    )
+    agg = R.partial_group_aggregate(
+        local.select_columns(["c_nationkey", "revenue_milli"]),
+        ["c_nationkey"],
+        sums={"revenue_milli": "revenue_milli"},
+    )
+    named = R.broadcast_join(
+        agg, asia, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    return named.select_columns(["n_name", "revenue_milli"])
+
+
 QUERIES: dict[str, Callable[[str], Dataset]] = {
     **TEXT_QUERIES,
     "pager_query": q_pager_query,
@@ -911,11 +995,29 @@ QUERIES: dict[str, Callable[[str], Dataset]] = {
     "segment_priorities_list": q_segment_priorities_list,
     "segment_top_priority": q_segment_top_priority,
     "brand_price_rank": q_brand_price_rank,
+    "nation_revenue": q_nation_revenue,
 }
 
 
 ORACLE_SQL: dict[str, str] = {
     **TEXT_ORACLE_SQL,
+    "nation_revenue": """
+        SELECT n_name,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_milli
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND c_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
     "pager_query": """
         SELECT 's1' AS seed_id, i AS page_num,
                'http://forum.example/t?page=' || i AS url

@@ -225,12 +225,31 @@ def broadcast_semi_join(ds: Dataset, keys: Iterable, on: str, anti: bool = False
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def join_partitions(requested: int | None = None) -> int:
+    """Hash-join fan-out sized to the cluster: the engine's shuffle
+    aggregator actors reserve resources per partition, so a fixed 16 on
+    a 4-CPU cluster starves the map stages feeding them — two CHAINED
+    joins (32 aggregators) deadlock outright. Half the CPUs (capped at
+    16, floored at 2) leaves headroom for map stages and for a second
+    concurrent join; on big clusters callers pass ``requested`` when a
+    join's input justifies more fan-out."""
+    if requested is not None:
+        return max(2, requested)
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 4
+    except Exception:  # noqa: BLE001 — uninitialised Ray in unit contexts
+        cpus = 4
+    return max(2, min(16, cpus // 2))
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,
     on: str | Sequence[str],
     right_on: str | Sequence[str] | None = None,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     join_type: str = "inner",
 ) -> Dataset:
     """Both-sides-large join: Ray Data's hash-partitioned ``Dataset.join``
@@ -240,7 +259,9 @@ def hash_join(
     left_semi / right_semi / left_anti / right_anti. Outer joins
     COALESCE the key into the left key column; left_semi/left_anti
     return LEFT columns only, right_semi/right_anti RIGHT columns
-    only. ``on`` accepts one key or a key tuple."""
+    only. ``on`` accepts one key or a key tuple. ``num_partitions``
+    defaults to a CLUSTER-SIZED fan-out (see ``join_partitions``)."""
+    num_partitions = join_partitions(num_partitions)
     on_t = (on,) if isinstance(on, str) else tuple(on)
     if right_on is None:
         right_t = None

@@ -223,6 +223,10 @@ BENCH_QUERIES = [
     # round-3 continuation: engine-join regression lines (outer + rollup)
     "customer_order_counts",
     "revenue_rollup",
+    # round-3 second continuation: quality-filter pass + the five-table
+    # Q5-shaped join (deepest join composition in the suite)
+    "repetition_signals",
+    "nation_revenue",
 ]
 
 
