@@ -522,17 +522,19 @@ def q_price_quantiles(sf_dir: str) -> Dataset:
     )
 
     def rank_select(g: pd.DataFrame) -> pd.DataFrame:
-        import math
-
         g = g.sort_values("cents", kind="mergesort")
         cum = g["cnt"].cumsum().to_numpy()
-        n = int(cum[-1])
         vals = g["cents"].to_numpy()
-        out = {"l_returnflag": g["l_returnflag"].iloc[0]}
-        for q, col in ((0.5, "p50_cents"), (0.9, "p90_cents")):
-            k = math.ceil(q * n)
-            out[col] = int(vals[(cum >= k).argmax()])
-        return pd.DataFrame([out])
+        p50, p90 = R.rank_select_quantiles(vals, cum, (0.5, 0.9))
+        return pd.DataFrame(
+            [
+                {
+                    "l_returnflag": g["l_returnflag"].iloc[0],
+                    "p50_cents": int(p50),
+                    "p90_cents": int(p90),
+                }
+            ]
+        )
 
     return counts.groupby("l_returnflag").map_groups(rank_select, batch_format="pandas")
 

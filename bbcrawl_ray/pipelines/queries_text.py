@@ -61,12 +61,7 @@ def q_common_token_fraction(sf_dir: str) -> Dataset:
 
     def frac(t: pa.Table) -> pa.Table:
         n_docs = t.num_rows
-        lists = pc.split_pattern_regex(t["text"], pattern=r"\s+")
-        if isinstance(lists, pa.ChunkedArray):
-            lists = lists.combine_chunks()
-        flat = pc.list_flatten(lists)
-        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, parent, keep = T.flat_tokens(t["text"])
         common = pc.is_in(flat, value_set=top_arr).to_numpy(zero_copy_only=False)
         n_tokens = np.bincount(parent[keep], minlength=n_docs).astype(np.int64)
         n_common = np.bincount(parent[keep & common], minlength=n_docs).astype(
@@ -116,12 +111,10 @@ def q_top_tokens(sf_dir: str) -> Dataset:
     def local_counts(t: pa.Table) -> pa.Table:
         # Arrow-native tokenize: split → flatten → value_counts, all C++
         # (a per-doc Python Counter loop was the one interpreter-bound
-        # step in this pipeline — round-2 verdict item #4). Edge empties
-        # from leading/trailing whitespace are dropped to match
-        # str.split() semantics.
-        toks = pc.list_flatten(pc.utf8_split_whitespace(t["text"]))
-        toks = toks.filter(pc.not_equal(toks, ""))
-        vc = pc.value_counts(toks)
+        # step in this pipeline — round-2 verdict item #4). The shared
+        # helper keeps the tokenization oracle-identical (RE2 \s+).
+        flat, _, keep = T.flat_tokens(t["text"])
+        vc = pc.value_counts(flat.filter(pa.array(keep)))
         return pa.table(
             {
                 "token": vc.field("values"),
@@ -473,8 +466,6 @@ def q_approx_quantiles(sf_dir: str) -> pd.DataFrame:
     reuses the value-count trick from ``price_quantiles`` — one row per
     DISTINCT cents value reaches the driver, bounded by the price range,
     not the row count."""
-    import math
-
     from ..stages.sampling import approx_quantiles
 
     ds = R.read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
@@ -495,9 +486,10 @@ def q_approx_quantiles(sf_dir: str) -> pd.DataFrame:
     cum = counts["cnt"].cumsum().to_numpy()
     vals = counts["cents"].to_numpy()
     n = int(cum[-1])
+    exacts = R.rank_select_quantiles(vals, cum, qs)
     rows = []
-    for q, e in zip(qs, est):
-        exact = int(vals[(cum >= math.ceil(q * n)).argmax()])
+    for q, e, exact_v in zip(qs, est, exacts):
+        exact = int(exact_v)
         idx = int(np.searchsorted(vals, e, side="right"))
         realized = (cum[idx - 1] / n) if idx > 0 else 0.0
         rows.append(

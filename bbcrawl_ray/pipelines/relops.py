@@ -235,8 +235,6 @@ def join_partitions(requested: int | None = None) -> int:
     join's input justifies more fan-out."""
     if requested is not None:
         return max(2, requested)
-    import ray
-
     try:
         cpus = int(ray.cluster_resources().get("CPU", 0)) or 4
     except Exception:  # noqa: BLE001 — uninitialised Ray in unit contexts
@@ -301,6 +299,18 @@ def _as_arrow_type(t) -> pa.DataType:
     if dt == np.dtype("O"):
         return pa.string()
     return pa.from_numpy_dtype(dt)
+
+
+def rank_select_quantiles(vals: np.ndarray, cum: np.ndarray, qs: Sequence[float]) -> list:
+    """Exact type-1 quantiles from a VALUE-COUNT representation: the
+    element at 1-indexed rank ceil(q·n), given sorted distinct values
+    and their cumulative counts. Engine-independent (no interpolation),
+    so results value-hash identically to the SQL oracle. ONE definition
+    shared by the grouped exact path and the sketch-comparison entry."""
+    import math
+
+    n = int(cum[-1])
+    return [vals[(cum >= math.ceil(q * n)).argmax()] for q in qs]
 
 
 def data_sized_shards(

@@ -361,16 +361,19 @@ def _join_partitions(requested: int | None = None, rows: int | None = None) -> i
     quarter is HEADROOM for the map stages feeding the shuffle
     (aggregators == cpus is exactly the starvation the small-cluster
     clamp exists for, reappearing at the top end); with an unknown
-    count it stays at the conservative min(16, cpus)."""
+    count it delegates to the shared cluster policy
+    (``relops.join_partitions`` — ONE place owns the starvation fix)."""
     import ray
 
+    from ..pipelines.relops import join_partitions as cluster_join_partitions
+
     if requested is not None:
-        return requested
-    cpus = int(ray.cluster_resources().get("CPU", 8))
+        return max(2, requested)
     if rows is not None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
         cap = min(max(2, cpus), max(16, (cpus * 3) // 4))
         return max(2, min(cap, -(-rows // 100_000)))
-    return max(2, min(16, cpus))
+    return cluster_join_partitions()
 
 
 def _compact_blocks(ds: Dataset) -> Dataset:

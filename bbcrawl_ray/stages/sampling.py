@@ -246,10 +246,12 @@ def approx_token_counts(
         sk = CountMinSketch(width, depth)
         # Arrow-native tokenize (split → flatten → value_counts in C++;
         # the per-doc Python Counter was interpreter-bound), weighted
-        # sketch insert per distinct token
-        toks = pc.list_flatten(pc.utf8_split_whitespace(t[col]))
-        toks = toks.filter(pc.not_equal(toks, ""))
-        vc = pc.value_counts(toks)
+        # sketch insert per distinct token. Shared helper keeps the
+        # tokenization identical to the exact heavy-hitter pipeline.
+        from .textops import flat_tokens
+
+        flat, _, keep = flat_tokens(t[col])
+        vc = pc.value_counts(flat.filter(pa.array(keep)))
         if len(vc):
             sk.add_hashes(
                 hash64_batch_fast(vc.field("values").to_pylist()),

@@ -220,6 +220,27 @@ def add_fingerprint(t: pa.Table, col: str = "text", window: int = 5) -> pa.Table
 # splits + dictionary-encodes, numpy/pandas do the grouped counting.
 
 
+def flat_tokens(col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """ONE tokenization for every oracle-backed token operator: RE2
+    ``\\s+`` split (DuckDB's ``regexp_split_to_array`` uses RE2's ASCII
+    ``\\s``, so an Arrow Unicode-whitespace split would silently diverge
+    on exotic whitespace). Returns ``(flat tokens, parent doc indices
+    int64, keep mask)`` — splitting "" or edge whitespace yields ""
+    tokens, which the mask drops to match str.split() / the SQL
+    ``tok <> ''`` filter."""
+    lists = pc.split_pattern_regex(col, pattern=r"\s+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    parent = (
+        pc.list_parent_indices(lists)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64, copy=False)
+    )
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return flat, parent, keep
+
+
 def repetition_signals_batch(
     t: pa.Table, id_col: str = "doc_id", col: str = "text"
 ) -> pa.Table:
@@ -236,18 +257,7 @@ def repetition_signals_batch(
     per-token Python object is ever created; bigram distinctness uses
     two-column drop_duplicates (no hash-combine overflow risk)."""
     n_docs = t.num_rows
-    # RE2 \s+ split (not utf8_split_whitespace): DuckDB's
-    # regexp_split_to_array uses RE2's ASCII \s, so exotic Unicode
-    # whitespace must tokenize identically on both sides of the oracle
-    lists = pc.split_pattern_regex(t[col], pattern=r"\s+")
-    if isinstance(lists, pa.ChunkedArray):
-        lists = lists.combine_chunks()
-    flat = pc.list_flatten(lists)
-    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-    parent = parent.astype(np.int64, copy=False)
-    # splitting "" (or leading/trailing whitespace) yields "" tokens:
-    # drop them so counts match str.split() / the SQL tok <> '' filter
-    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat, parent, keep = flat_tokens(t[col])
     codes = (
         pc.dictionary_encode(flat)
         .indices.to_numpy(zero_copy_only=False)
