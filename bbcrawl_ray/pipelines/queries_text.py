@@ -329,6 +329,37 @@ def q_embedding_knn(sf_dir: str) -> pd.DataFrame:
     return knn_brute(ds, Q, qids, k=5)
 
 
+def q_filtered_knn(sf_dir: str) -> pd.DataFrame:
+    """COMPOSED quality→similarity pipeline (oracle-backed): documents
+    passing a repetition filter (distinct_token_ratio >= 0.45, ~half
+    the corpus) keep their embeddings via a left_semi hash join, and
+    exact top-5 cosine neighbors run among the SURVIVORS only, for the
+    5 smallest surviving vec_ids. Three operators compose — quality
+    scoring, engine semi-join, broadcast brute kNN — with nothing
+    driver-side beyond the query vectors and the q×k result."""
+    docs = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    sig = docs.map_batches(
+        lambda t: T.repetition_signals_batch(t), batch_format="pyarrow"
+    )
+    keep = R.filter_arrow(
+        sig,
+        lambda t: pc.greater_equal(t["distinct_token_ratio"], pa.scalar(0.45)),
+    ).select_columns(["doc_id"])
+    emb = R.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # engine joins reject list-typed payloads: vectors ride the semi-join
+    # as fixed-width binary (one buffer reinterpret each way, no per-row
+    # Python) — the distributed path, no survivor set ever broadcast
+    from ..stages.similarity import pack_vectors, unpack_vectors
+
+    packed = emb.map_batches(pack_vectors, batch_format="pyarrow")
+    surv = R.hash_join(
+        packed, keep, on="vec_id", right_on="doc_id", join_type="left_semi"
+    ).map_batches(unpack_vectors, batch_format="pyarrow")
+    qdf = surv.sort("vec_id").limit(5).to_pandas()
+    Q = np.stack(qdf["embedding"].to_numpy())
+    return knn_brute(surv, Q, qdf["vec_id"].tolist(), k=5)
+
+
 def q_embedding_knn_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF-pruned approximate top-5 (rows-only: approximate by design).
     The cell-partitioned index is cached per sf_dir — built once, probed
@@ -552,6 +583,7 @@ TEXT_QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_pairs_exact": q_embedding_pairs_exact,
     "embedding_knn": q_embedding_knn,
+    "filtered_knn": q_filtered_knn,
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "knn_ivf_recall": q_knn_ivf_recall,
     "media_features": q_media_features,
@@ -767,6 +799,36 @@ TEXT_ORACLE_SQL = {
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY score DESC, neighbor_id ASC) AS rank
             FROM s
+        ) WHERE rank <= 5
+    """,
+    "filtered_knn": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+            FROM documents
+        ), f AS (
+            SELECT doc_id, unnest(a) AS tok FROM toks
+        ), st AS (
+            SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS d
+            FROM f WHERE tok <> '' GROUP BY doc_id
+        ), keep AS (
+            SELECT doc_id FROM st WHERE CAST(d AS DOUBLE) / n >= 0.45
+        ), se AS (
+            SELECT e.* FROM embeddings e JOIN keep k ON e.vec_id = k.doc_id
+        ), q AS (
+            SELECT vec_id AS qid, embedding AS qv FROM se
+            ORDER BY vec_id LIMIT 5
+        ), sc AS (
+            SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])) AS score
+            FROM q CROSS JOIN se e
+            WHERE e.vec_id != q.qid
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM sc
         ) WHERE rank <= 5
     """,
 }

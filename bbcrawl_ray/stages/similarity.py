@@ -28,6 +28,40 @@ def _stack(col) -> np.ndarray:
     return np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
 
 
+def pack_vectors(
+    t: pa.Table, vec_col: str = "embedding", out_col: str = "emb_bin"
+) -> pa.Table:
+    """list<float> → fixed_size_binary so embeddings can ride through
+    engine hash joins/shuffles (Ray's join rejects list-typed non-key
+    payloads). Zero per-row Python: one contiguous float32 buffer,
+    reinterpreted as n fixed-width binary cells."""
+    X = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float32)
+    n, d = X.shape
+    packed = pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(d * 4), n, [None, pa.py_buffer(np.ascontiguousarray(X).tobytes())]
+    )
+    return t.drop_columns([vec_col]).append_column(out_col, packed)
+
+
+def unpack_vectors(
+    t: pa.Table, bin_col: str = "emb_bin", out_col: str = "embedding"
+) -> pa.Table:
+    """Inverse of ``pack_vectors``: fixed_size_binary → list<float32>
+    via one buffer reinterpret (no per-row work)."""
+    col = t[bin_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.type.byte_width // 4
+    if col.null_count:
+        raise ValueError("unpack_vectors: null embedding cells")
+    start = col.offset * d
+    flat = np.frombuffer(col.buffers()[1], dtype=np.float32)[
+        start : start + len(col) * d
+    ]
+    vecs = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float32()), d)
+    return t.drop_columns([bin_col]).append_column(out_col, vecs)
+
+
 def knn_brute(
     ds: Dataset,
     queries: np.ndarray,

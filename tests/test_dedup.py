@@ -812,3 +812,26 @@ def test_adaptive_probe_decisions(ray_session):
     empty = rd.from_pandas(uniq.iloc[0:0])
     assert _approx_dup_rate(empty, "text") == (0, 0.0)
     assert _adaptive_mapping(empty, "doc_id", "text", "auto") is None
+
+
+def test_pack_unpack_vectors_roundtrip():
+    """Vectors survive the fixed-size-binary reinterpret used to ride
+    engine hash joins, including through a table slice (offset != 0)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bbcrawl_ray.stages.similarity import pack_vectors, unpack_vectors
+
+    X = np.arange(40, dtype=np.float32).reshape(10, 4) / 7.0
+    t = pa.table(
+        {"vec_id": pa.array(range(10), pa.int64()), "embedding": list(X)}
+    )
+    packed = pack_vectors(t)
+    assert packed["emb_bin"].type == pa.binary(16)
+    back = unpack_vectors(packed)
+    Y = np.stack(back["embedding"].to_numpy(zero_copy_only=False))
+    assert np.array_equal(X, Y)
+    # sliced table: offset-aware buffer reinterpret
+    back2 = unpack_vectors(packed.slice(3, 4))
+    Y2 = np.stack(back2["embedding"].to_numpy(zero_copy_only=False))
+    assert np.array_equal(X[3:7], Y2)
