@@ -687,37 +687,34 @@ def q_revenue_rollup(sf_dir: str) -> Dataset:
         ["l_returnflag", "l_linestatus"],
         sums={"revenue_cents": "revenue_cents"},
         count_as="item_count",
-    ).materialize()  # a handful of rows; reused by all three levels
-
-    def project(flag_all: bool, status_all: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            sentinel = lambda: pa.array(["ALL"] * n, pa.string())  # noqa: E731
-            return pa.table(
-                {
-                    "l_returnflag": sentinel() if flag_all else pc.cast(t["l_returnflag"], pa.string()),
-                    "l_linestatus": sentinel() if status_all else pc.cast(t["l_linestatus"], pa.string()),
-                    "revenue_cents": pc.cast(t["revenue_cents"], pa.int64()),
-                    "item_count": pc.cast(t["item_count"], pa.int64()),
-                }
-            )
-
-        return fn
-
-    sums = {"revenue_cents": ("sum", "revenue_cents"), "item_count": ("sum", "item_count")}
-    lvl2 = finest.map_batches(project(False, False), batch_format="pyarrow")
-    lvl1 = R.group_aggregate(finest, ["l_returnflag"], sums).map_batches(
-        project(False, True), batch_format="pyarrow"
     )
-    grand = R.group_aggregate(
-        finest.map_batches(
-            lambda t: t.append_column("_all", pa.array(["ALL"] * t.num_rows)),
-            batch_format="pyarrow",
-        ),
-        ["_all"],
-        sums,
-    ).map_batches(project(True, True), batch_format="pyarrow")
-    return lvl2.union(lvl1, grand)
+
+    # the finest level is bounded by |returnflag|×|linestatus| (a
+    # constant at ANY corpus size), so the subtotal and grand-total
+    # levels are driver arithmetic over a handful of rows — three extra
+    # distributed shuffles here were pure scheduler overhead (~4 s of
+    # the query's wall at sf0.1)
+    fin = finest.to_pandas()
+    lvl2 = fin.astype({"l_returnflag": str, "l_linestatus": str})
+    lvl1 = (
+        fin.groupby("l_returnflag", as_index=False)[["revenue_cents", "item_count"]]
+        .sum()
+        .assign(l_linestatus="ALL")
+    )
+    grand = pd.DataFrame(
+        [
+            {
+                "l_returnflag": "ALL",
+                "l_linestatus": "ALL",
+                "revenue_cents": fin["revenue_cents"].sum(),
+                "item_count": fin["item_count"].sum(),
+            }
+        ]
+    )
+    cols = ["l_returnflag", "l_linestatus", "revenue_cents", "item_count"]
+    out = pd.concat([lvl2[cols], lvl1[cols], grand[cols]], ignore_index=True)
+    out = out.astype({"revenue_cents": "int64", "item_count": "int64"})
+    return rd.from_pandas(out)
 
 
 _PIVOT_YEARS = (1996, 1997, 1998)
