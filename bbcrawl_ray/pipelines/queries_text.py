@@ -489,6 +489,35 @@ def q_approx_distinct(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_grouped_approx_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-group KLL quantile estimates beside the exact grouped
+    rank-select quantiles (rows-only: approximate by design). The
+    sketch path is a keyed COMBINER — one O(k) sketch per (block,
+    group) enters the shuffle, never values — which is what survives
+    when a group's value multiset no longer fits one worker."""
+    from ..pipelines.queries import q_price_quantiles
+    from ..stages.sampling import grouped_approx_quantiles
+
+    ds = R.read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    cents_ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "cents": pc.cast(R.cents(t["l_extendedprice"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    est = grouped_approx_quantiles(
+        cents_ds, "l_returnflag", "cents", qs=(0.5, 0.9)
+    ).to_pandas()
+    exact = q_price_quantiles(sf_dir).to_pandas()
+    out = exact.merge(est, on="l_returnflag").sort_values("l_returnflag")
+    return out[
+        ["l_returnflag", "p50_cents", "p50_est", "p90_cents", "p90_est"]
+    ].reset_index(drop=True)
+
+
 def q_approx_quantiles(sf_dir: str) -> pd.DataFrame:
     """KLL quantile-sketch estimates next to exact rank-select quantiles
     over lineitem price cents (rows-only: the sketch is approximate by
@@ -592,6 +621,7 @@ TEXT_QUERIES = {
     "approx_distinct": q_approx_distinct,
     "approx_token_freq": q_approx_token_freq,
     "approx_quantiles": q_approx_quantiles,
+    "grouped_approx_quantiles": q_grouped_approx_quantiles,
 }
 
 _BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

@@ -148,3 +148,34 @@ def test_approx_quantiles_entry(ray_session, sf_dir):
     assert len(out) == 5
     # realized rank error within the sketch's design bound
     assert (out["rank_err"] < 0.02).all(), out
+
+
+def test_grouped_approx_quantiles_rank_error(ray_session, sf_dir):
+    """Per-group KLL estimates stay within 2% rank error of each group's
+    true distribution (checked against the raw per-group values)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bbcrawl_ray.pipelines import relops as R
+    from bbcrawl_ray.stages.sampling import grouped_approx_quantiles
+
+    ds = R.read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    cents_ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "cents": pc.cast(R.cents(t["l_extendedprice"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    est = grouped_approx_quantiles(cents_ds, "l_returnflag", "cents", qs=(0.5, 0.9))
+    est = est.to_pandas().set_index("l_returnflag")
+    raw = cents_ds.to_pandas()
+    for flag, grp in raw.groupby("l_returnflag"):
+        vals = np.sort(grp["cents"].to_numpy())
+        for q, col in ((0.5, "p50_est"), (0.9, "p90_est")):
+            realized = np.searchsorted(vals, est.loc[flag, col], side="right") / len(vals)
+            assert abs(realized - q) < 0.02, (flag, q, realized)
