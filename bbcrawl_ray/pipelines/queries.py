@@ -695,6 +695,19 @@ def q_revenue_rollup(sf_dir: str) -> Dataset:
     # distributed shuffles here were pure scheduler overhead (~4 s of
     # the query's wall at sf0.1)
     fin = finest.to_pandas()
+    if fin.empty:
+        # ROLLUP over empty input is ONE grand-total row: SUM() = NULL,
+        # COUNT(*) = 0 (matching the SQL oracle, not zero rows)
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "l_returnflag": ["ALL"],
+                    "l_linestatus": ["ALL"],
+                    "revenue_cents": pd.array([pd.NA], dtype="Int64"),
+                    "item_count": pd.array([0], dtype="int64"),
+                }
+            )
+        )
     lvl2 = fin.astype({"l_returnflag": str, "l_linestatus": str})
     lvl1 = (
         fin.groupby("l_returnflag", as_index=False)[["revenue_cents", "item_count"]]

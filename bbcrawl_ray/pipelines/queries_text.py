@@ -355,6 +355,9 @@ def q_filtered_knn(sf_dir: str) -> pd.DataFrame:
     surv = R.hash_join(
         packed, keep, on="vec_id", right_on="doc_id", join_type="left_semi"
     ).map_batches(unpack_vectors, batch_format="pyarrow")
+    # consumed twice (query selection + kNN scan): materialize so the
+    # tokenize→filter→join lineage doesn't re-execute per consumption
+    surv = surv.materialize()
     qdf = surv.sort("vec_id").limit(5).to_pandas()
     Q = np.stack(qdf["embedding"].to_numpy())
     return knn_brute(surv, Q, qdf["vec_id"].tolist(), k=5)

@@ -420,10 +420,14 @@ def grouped_approx_quantiles(
         keys = t[key].to_pandas()
         vals = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
         out_k, out_s = [], []
-        for kk, idx in pd.Series(range(len(keys))).groupby(keys, sort=False):
+        # dropna=False: null keys form a group like the Arrow-based
+        # exact grouped paths (pandas' default silently drops them)
+        for kk, idx in pd.Series(range(len(keys))).groupby(
+            keys, sort=False, dropna=False
+        ):
             sk = KllSketch(sketch_k)
             sk.add(vals[idx.to_numpy()])
-            out_k.append(kk)
+            out_k.append(None if pd.isna(kk) else kk)
             out_s.append(sk.to_bytes())
         return pa.table(
             {

@@ -35,6 +35,15 @@ def pack_vectors(
     engine hash joins/shuffles (Ray's join rejects list-typed non-key
     payloads). Zero per-row Python: one contiguous float32 buffer,
     reinterpreted as n fixed-width binary cells."""
+    if t.num_rows == 0:
+        vt = t[vec_col].type
+        if not pa.types.is_fixed_size_list(vt):
+            raise ValueError(
+                "pack_vectors: empty batch with variable-size list type — "
+                "the binary width cannot be derived"
+            )
+        packed = pa.array([], pa.binary(vt.list_size * 4))
+        return t.drop_columns([vec_col]).append_column(out_col, packed)
     X = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float32)
     n, d = X.shape
     packed = pa.FixedSizeBinaryArray.from_buffers(

@@ -179,3 +179,25 @@ def test_grouped_approx_quantiles_rank_error(ray_session, sf_dir):
         for q, col in ((0.5, "p50_est"), (0.9, "p90_est")):
             realized = np.searchsorted(vals, est.loc[flag, col], side="right") / len(vals)
             assert abs(realized - q) < 0.02, (flag, q, realized)
+
+
+def test_grouped_approx_quantiles_null_keys(ray_session):
+    """Null group keys form a group (like the Arrow exact paths) instead
+    of being silently dropped by the pandas default."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bbcrawl_ray.stages.sampling import grouped_approx_quantiles
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", None, None, "b"], pa.string()),
+            "v": pa.array([1.0, 3.0, 10.0, 20.0, 5.0], pa.float64()),
+        }
+    )
+    out = grouped_approx_quantiles(rd.from_arrow(t), "k", "v", qs=(0.5,)).to_pandas()
+    assert len(out) == 3
+    null_row = out[out["k"].isna()]
+    assert len(null_row) == 1
+    assert float(null_row["p50_est"].iloc[0]) in (10.0, 20.0)
