@@ -913,16 +913,17 @@ def q_nation_revenue(sf_dir: str) -> Dataset:
         ),
     )
     # customer is NOT a dimension table at corpus scale: filter it to
-    # ASIA nations (constant-size value set, no shuffle) and hash-join
-    # it against the date-filtered orders — both sides shuffled on the
-    # key, nothing customer-sized ever broadcast
+    # ASIA nations (constant-size value set, no shuffle), then let the
+    # MEASURED size of the filtered side pick the join transport —
+    # broadcast under the absolute byte gate (skipping the engine
+    # join's multi-second aggregator cost), both-sides hash join above
     asia_keys = pa.array(asia["n_nationkey"].tolist())
     cust = R.read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     cust_asia = R.filter_arrow(
         cust, lambda t: pc.is_in(t["c_nationkey"], value_set=asia_keys)
     )
-    orders_n = R.hash_join(
-        orders, cust_asia, on="o_custkey", right_on="c_custkey"
+    orders_n = R.auto_join(
+        orders, cust_asia, left_on="o_custkey", right_on="c_custkey"
     ).select_columns(["o_orderkey", "c_nationkey"])
 
     li = R.read_table(

@@ -211,6 +211,36 @@ def broadcast_join(
     return ds.map_batches(join_batch, batch_format="pandas", **kwargs)
 
 
+def auto_join(
+    left: Dataset,
+    right: Dataset,
+    left_on: str,
+    right_on: str,
+    broadcast_bytes: int = 64 << 20,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Size-adaptive INNER join transport: the right side materializes
+    (its blocks stay in the object store) and its MEASURED byte size
+    picks the path — under an ABSOLUTE gate it ships once as a
+    broadcast map-side join (no shuffle at all); above it, both sides
+    hash-shuffle through the engine join. Same gate philosophy as the
+    dedup broadcast paths: the decision is bytes, never a row-count
+    heuristic, so it cannot OOM the driver at any corpus size, and the
+    fallback is the fully distributed transport. The engine's shuffle
+    join carries a multi-second fixed aggregator cost per invocation,
+    so joins whose small side is dimension-sized (a filtered customer
+    set, a lookup table) should never pay it."""
+    right = right.materialize()
+    nbytes = right.size_bytes() or 0
+    if nbytes <= broadcast_bytes:
+        return broadcast_join(
+            left, right.to_pandas(), left_on=left_on, right_on=right_on
+        )
+    return hash_join(
+        left, right, on=left_on, right_on=right_on, num_partitions=num_partitions
+    )
+
+
 def broadcast_semi_join(ds: Dataset, keys: Iterable, on: str, anti: bool = False) -> Dataset:
     """Semi/anti join against a broadcast key set, as a vectorized filter."""
     key_arr = pa.array(list(keys))

@@ -83,3 +83,30 @@ def test_knn_ivf_recall_entry(ray_session, sf_dir):
     assert len(df) == 5
     assert ((df["recall"] >= 0) & (df["recall"] <= 1)).all()
     assert df["hits"].sum() > 0
+
+
+def test_auto_join_paths_agree(ray_session, sf_dir):
+    """auto_join's broadcast and hash transports produce identical rows
+    (the gate only picks transport, never semantics)."""
+    import pandas as pd
+
+    from bbcrawl_ray.pipelines import relops as R
+
+    orders = R.read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = R.read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def norm(ds):
+        df = ds.to_pandas()[["o_orderkey", "c_nationkey"]].astype("int64")
+        return df.sort_values(["o_orderkey", "c_nationkey"]).reset_index(drop=True)
+
+    broadcast = norm(
+        R.auto_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+    )
+    hashed = norm(
+        R.auto_join(
+            orders, cust, left_on="o_custkey", right_on="c_custkey",
+            broadcast_bytes=0,
+        )
+    )
+    assert len(broadcast) > 0
+    pd.testing.assert_frame_equal(broadcast, hashed)
