@@ -79,3 +79,61 @@ def test_membership_no_false_negatives(keys):
 def test_hash64_stable(s):
     assert hash64(s) == hash64(s)
     assert 0 <= hash64(s) < 2**64
+
+
+@given(
+    data=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=50,
+        max_size=2000,
+    ),
+    n_parts=st.integers(min_value=1, max_value=8),
+    q=st.sampled_from([0.1, 0.5, 0.9]),
+)
+@settings(max_examples=50, deadline=None)
+def test_kll_rank_bound_any_split(data, n_parts, q):
+    """The KLL rank-error bound holds regardless of how the stream is
+    split into sketches and in what order they merge."""
+    import numpy as np
+
+    from bbcrawl_ray.stages.sampling import KllSketch
+
+    arr = np.asarray(data, dtype=np.float64)
+    parts = np.array_split(arr, n_parts)
+    sketches = []
+    for p in parts:
+        sk = KllSketch(200)
+        sk.add(p)
+        sketches.append(sk)
+    # fold right-to-left (a different order than the driver reduce)
+    merged = sketches[-1]
+    for sk in reversed(sketches[:-1]):
+        merged = sk.merge(merged)
+    est = float(merged.quantiles([q])[0])
+    s = np.sort(arr)
+    lo = np.searchsorted(s, est, side="left") / len(s)
+    hi = np.searchsorted(s, est, side="right") / len(s)
+    # realized rank interval must overlap [q-eps, q+eps]; k=200 keeps
+    # eps well under 0.05 at these sizes
+    assert lo - 0.05 <= q <= hi + 0.05, (q, lo, hi, est)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=64),
+    d=st.sampled_from([1, 3, 8, 32]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_pack_unpack_any_shape(n, d, seed):
+    """pack/unpack vectors round-trips exactly for any (n, d)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bbcrawl_ray.stages.similarity import pack_vectors, unpack_vectors
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()), "embedding": list(X)})
+    back = unpack_vectors(pack_vectors(t))
+    Y = np.stack(back["embedding"].to_numpy(zero_copy_only=False))
+    assert np.array_equal(X, Y)
