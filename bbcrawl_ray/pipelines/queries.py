@@ -595,6 +595,17 @@ def q_sample_orders(sf_dir: str) -> Dataset:
     return key_mod_sample(ds, "o_orderkey", 10, 2)
 
 
+def q_weighted_sample_orders(sf_dir: str) -> Dataset:
+    """Weighted sample of 100 orders, inclusion skewed toward high
+    o_totalprice: rank = md5-integer/weight, smallest ranks win — no
+    transcendentals, so DuckDB reproduces the EXACT sample (one IEEE
+    division is correctly rounded on both engines)."""
+    from ..stages.sampling import weighted_sample
+
+    ds = R.read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return weighted_sample(ds, "o_orderkey", "o_totalprice", 100)
+
+
 def q_stratified_lineitem(sf_dir: str) -> Dataset:
     """Stratified sample: 20 rows per l_returnflag stratum, chosen by
     md5(orderkey-linenumber) — engine-independent, exactly reproducible
@@ -995,6 +1006,7 @@ QUERIES: dict[str, Callable[[str], Dataset]] = {
     "events_last_order": q_events_last_order,
     "quantity_bands": q_quantity_bands,
     "sample_orders": q_sample_orders,
+    "weighted_sample_orders": q_weighted_sample_orders,
     "stratified_lineitem": q_stratified_lineitem,
     "order_lineitem_join": q_order_lineitem_join,
     "top_orders_per_segment": q_top_orders_per_segment,
@@ -1202,6 +1214,15 @@ ORACLE_SQL: dict[str, str] = {
     "sample_orders": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders WHERE o_orderkey % 10 < 2
+    """,
+    "weighted_sample_orders": """
+        SELECT o_orderkey, o_totalprice FROM (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(CAST(concat('0x',
+                            substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS DOUBLE) / o_totalprice AS r
+            FROM orders
+        ) ORDER BY r, o_orderkey LIMIT 100
     """,
     "stratified_lineitem": """
         SELECT l_returnflag, l_orderkey, l_linenumber

@@ -451,3 +451,49 @@ def grouped_approx_quantiles(
         .groupby(key)
         .map_groups(merge_group, batch_format="pandas")
     )
+
+
+def weighted_sample(
+    ds: Dataset, key_col: str, weight_col: str, n: int
+) -> Dataset:
+    """Deterministic weighted sample without replacement (inclusion
+    skewed ∝ weight): every row draws rank = (60-bit md5 integer of its
+    key) / weight and the n SMALLEST ranks win, ties broken on the key.
+    Engine-independent by construction — the integer hash is exact on
+    both sides and ONE IEEE division is correctly rounded, so the DuckDB
+    oracle reproduces the identical sample (same trick as the md5-rank
+    stratified sampler; no transcendental functions whose last-ulp
+    behavior differs across math libraries). Per-block top-n prune
+    before the global top-n: the shuffle moves ≤ n × blocks rows."""
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        keys = [str(k) for k in t[key_col].to_pylist()]
+        h = np.array(
+            [int(hashlib.md5(k.encode()).hexdigest()[:15], 16) for k in keys],
+            dtype=np.int64,
+        )
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        rank = h.astype(np.float64) / w
+        t = t.append_column("_wrank", pa.array(rank, pa.float64()))
+        # local prune: the global winners are a subset of every block's
+        # own top-n
+        idx = pc.sort_indices(
+            t, sort_keys=[("_wrank", "ascending"), (key_col, "ascending")]
+        )
+        return t.take(idx[: min(n, t.num_rows)])
+
+    pruned = ds.map_batches(add_rank, batch_format="pyarrow")
+
+    def top_n(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["_wrank", key_col], kind="mergesort").head(n)
+
+    # single global group: the pruned stream is ≤ n × blocks rows
+    out = pruned.map_batches(
+        lambda t: t.append_column("_g", pa.array([0] * t.num_rows, pa.int32())),
+        batch_format="pyarrow",
+    )
+    return (
+        out.groupby("_g")
+        .map_groups(top_n, batch_format="pandas")
+        .drop_columns(["_wrank", "_g"])
+    )

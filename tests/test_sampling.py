@@ -201,3 +201,17 @@ def test_grouped_approx_quantiles_null_keys(ray_session):
     null_row = out[out["k"].isna()]
     assert len(null_row) == 1
     assert float(null_row["p50_est"].iloc[0]) in (10.0, 20.0)
+
+
+def test_weighted_sample_biases_toward_weight(ray_session, sf_dir):
+    """The weighted sample overrepresents high-weight rows: sampled mean
+    weight must exceed the population mean."""
+    from bbcrawl_ray.pipelines import relops as R
+    from bbcrawl_ray.stages.sampling import weighted_sample
+
+    ds = R.read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    pop_mean = ds.to_pandas()["o_totalprice"].mean()
+    samp = weighted_sample(ds, "o_orderkey", "o_totalprice", 100).to_pandas()
+    assert len(samp) == 100
+    assert samp["o_orderkey"].is_unique
+    assert samp["o_totalprice"].mean() > pop_mean
