@@ -521,6 +521,30 @@ def q_grouped_approx_quantiles(sf_dir: str) -> pd.DataFrame:
     ].reset_index(drop=True)
 
 
+def q_grouped_approx_distinct(sf_dir: str) -> pd.DataFrame:
+    """Per-priority approximate distinct customers (HLL keyed combiner)
+    beside the exact grouped distinct count (rows-only: approximate by
+    design; ``rel_err`` shows the realized error per group)."""
+    from ..stages.sampling import grouped_approx_distinct
+
+    ds = R.read_table(sf_dir, "orders", columns=["o_orderpriority", "o_custkey"])
+    est = grouped_approx_distinct(ds, "o_orderpriority", "o_custkey").to_pandas()
+    pairs = R.distinct(ds, ["o_orderpriority", "o_custkey"])
+    exact = (
+        R.partial_group_aggregate(
+            pairs, ["o_orderpriority"], sums={}, count_as="distinct_exact"
+        )
+        .to_pandas()
+    )
+    out = exact.merge(est, on="o_orderpriority").sort_values("o_orderpriority")
+    out["rel_err"] = (
+        (out["distinct_est"] - out["distinct_exact"]).abs() / out["distinct_exact"]
+    )
+    return out[
+        ["o_orderpriority", "distinct_exact", "distinct_est", "rel_err"]
+    ].reset_index(drop=True)
+
+
 def q_approx_quantiles(sf_dir: str) -> pd.DataFrame:
     """KLL quantile-sketch estimates next to exact rank-select quantiles
     over lineitem price cents (rows-only: the sketch is approximate by
@@ -625,6 +649,7 @@ TEXT_QUERIES = {
     "approx_token_freq": q_approx_token_freq,
     "approx_quantiles": q_approx_quantiles,
     "grouped_approx_quantiles": q_grouped_approx_quantiles,
+    "grouped_approx_distinct": q_grouped_approx_distinct,
 }
 
 _BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

@@ -497,3 +497,49 @@ def weighted_sample(
         .map_groups(top_n, batch_format="pandas")
         .drop_columns(["_wrank", "_g"])
     )
+
+
+def grouped_approx_distinct(
+    ds: Dataset, key: str, col: str, p: int = 12
+) -> Dataset:
+    """Per-key approximate COUNT(DISTINCT col): HLL sketches as a keyed
+    combiner — one 2^p-byte sketch per (block, key) enters the keyed
+    shuffle instead of the value stream, merge+estimate in map_groups.
+    Same shape as ``grouped_approx_quantiles``; the exact path must
+    co-locate each key's distinct values, this path moves O(2^p) per
+    key. Output: one row per key with ``distinct_est`` (float64)."""
+    from ..functions.urlfns import hash64_batch_fast
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        keys = t[key].to_pandas()
+        vals = t[col].to_pylist()
+        out_k, out_s = [], []
+        for kk, idx in pd.Series(range(len(keys))).groupby(
+            keys, sort=False, dropna=False
+        ):
+            sk = HllSketch(p)
+            sk.add_hashes(
+                hash64_batch_fast([str(vals[i]) for i in idx.to_numpy()])
+            )
+            out_k.append(None if pd.isna(kk) else kk)
+            out_s.append(sk.to_bytes())
+        return pa.table(
+            {
+                key: pa.array(out_k, t[key].type),
+                "sketch": pa.array(out_s, pa.large_binary()),
+            }
+        )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        merged = HllSketch(p)
+        for blob in g["sketch"]:
+            merged = merged.merge(HllSketch.from_bytes(p, blob))
+        return pd.DataFrame(
+            [{key: g[key].iloc[0], "distinct_est": float(merged.estimate())}]
+        )
+
+    return (
+        ds.map_batches(sketch_batch, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(merge_group, batch_format="pandas")
+    )

@@ -215,3 +215,13 @@ def test_weighted_sample_biases_toward_weight(ray_session, sf_dir):
     assert len(samp) == 100
     assert samp["o_orderkey"].is_unique
     assert samp["o_totalprice"].mean() > pop_mean
+
+
+def test_grouped_approx_distinct_error(ray_session, sf_dir):
+    """Per-group HLL estimates land within the sketch's design error
+    (~1.6% at p=12; allow 5%) of the exact distinct counts."""
+    from bbcrawl_ray.pipelines.queries_text import q_grouped_approx_distinct
+
+    out = q_grouped_approx_distinct(sf_dir)
+    assert len(out) >= 2
+    assert (out["rel_err"] < 0.05).all(), out
