@@ -397,6 +397,44 @@ def q_knn_ivf_recall(sf_dir: str) -> pd.DataFrame:
 # multimodal (stubbed codec, real plumbing)
 
 
+def q_media_headers(sf_dir: str) -> Dataset:
+    """ORACLE-BACKED codec-free media introspection: each doc gets a
+    spec-conformant PNG header whose dimensions derive from its doc_id,
+    and the distributed ``SniffMediaHeaders`` stage parses them back —
+    the oracle reproduces the dimension formula, so the driver
+    value-hashes the parser's round-trip. (Pixel decode still needs the
+    absent codec; container parsing does not.)"""
+    import struct
+
+    from ..stages.multimodal import SniffMediaHeaders
+
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = [
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">IIBBBBB", 100 + int(i) % 400, 100 + int(i) % 300, 8, 2, 0, 0, 0)
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "media_ref": pc.binary_join_element_wise(
+                    pc.cast(t["source"], pa.string()),
+                    pc.cast(t["doc_id"], pa.string()),
+                    "/",
+                ),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    return media.map_batches(SniffMediaHeaders, concurrency=2, batch_format="pyarrow")
+
+
 def q_media_features(sf_dir: str) -> Dataset:
     """Binary-payload decode stage over synthetic media built from the
     documents table (rows-only; fake deterministic codec)."""
@@ -643,6 +681,7 @@ TEXT_QUERIES = {
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "knn_ivf_recall": q_knn_ivf_recall,
     "media_features": q_media_features,
+    "media_headers": q_media_headers,
     "crawl_documents": q_crawl_documents,
     "read_seeds": q_read_seeds,
     "approx_distinct": q_approx_distinct,
@@ -858,6 +897,14 @@ TEXT_ORACLE_SQL = {
                                       ORDER BY score DESC, neighbor_id ASC) AS rank
             FROM s
         ) WHERE rank <= 5
+    """,
+    "media_headers": """
+        SELECT doc_id,
+               source || '/' || CAST(doc_id AS VARCHAR) AS media_ref,
+               'png' AS format,
+               CAST(100 + doc_id % 400 AS INTEGER) AS width,
+               CAST(100 + doc_id % 300 AS INTEGER) AS height
+        FROM documents
     """,
     "filtered_knn": r"""
         WITH toks AS (

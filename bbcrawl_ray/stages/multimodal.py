@@ -62,6 +62,62 @@ def _fake_decode(payload: bytes, feature_dim: int) -> tuple[int, int, int, np.nd
     return w, h, n_frames, feat
 
 
+def sniff_media_header(payload: bytes) -> tuple[str, int, int]:
+    """Codec-free container sniff: (format, width, height) parsed from
+    the leading bytes of REAL PNG / GIF / JPEG payloads — pure struct
+    reads, no image library. This is NOT a stub: it works on genuine
+    image bytes today; only pixel decode / feature extraction needs the
+    absent codec. Unknown/truncated payloads → ("unknown", 0, 0)."""
+    import struct
+
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is mandatory-first: width/height big-endian at 16..24
+        w, h = struct.unpack(">II", payload[16:24])
+        return "png", w, h
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return "gif", w, h
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        # walk JPEG segments to the first SOF0/1/2 frame header
+        i = 2
+        n = len(payload)
+        while i + 9 <= n and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return "jpeg", w, h
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return "jpeg", 0, 0
+    return "unknown", 0, 0
+
+
+class SniffMediaHeaders:
+    """Stateless map_batches stage: MEDIA batch → (doc_id, media_ref,
+    format, width, height) via ``sniff_media_header`` — the codec-free
+    slice of media introspection that runs on real bytes today."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        fmts, ws, hs = [], [], []
+        for payload in t["payload"].to_pylist():
+            f, w, h = sniff_media_header(payload or b"")
+            fmts.append(f)
+            ws.append(w)
+            hs.append(h)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "media_ref": t["media_ref"],
+                "format": pa.array(fmts, pa.string()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+            }
+        )
+
+
 class DecodeMedia:
     """Actor-pool stage: MEDIA batch → MEDIA_FEATURES batch.
 

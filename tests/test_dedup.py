@@ -835,3 +835,45 @@ def test_pack_unpack_vectors_roundtrip():
     back2 = unpack_vectors(packed.slice(3, 4))
     Y2 = np.stack(back2["embedding"].to_numpy(zero_copy_only=False))
     assert np.array_equal(X[3:7], Y2)
+
+
+def test_sniff_media_headers_real_bytes():
+    """Codec-free header sniff parses genuine PNG/GIF/JPEG bytes (built
+    here byte-by-byte per spec — no image library involved)."""
+    import struct
+
+    import pyarrow as pa
+
+    from bbcrawl_ray.stages.multimodal import SniffMediaHeaders, sniff_media_header
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0)
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    # JPEG: SOI, APP0 (JFIF stub), then SOF0 with height=100, width=250
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 100, 250) + b"\x01\x11\x00"
+    )
+    assert sniff_media_header(png) == ("png", 640, 480)
+    assert sniff_media_header(gif) == ("gif", 320, 200)
+    assert sniff_media_header(jpeg) == ("jpeg", 250, 100)
+    assert sniff_media_header(b"not an image") == ("unknown", 0, 0)
+    assert sniff_media_header(b"") == ("unknown", 0, 0)
+    assert sniff_media_header(b"\x89PNG\r\n\x1a\n trunc") == ("unknown", 0, 0)
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c", "d"], pa.string()),
+            "media_ref": pa.array(["p", "g", "j", "x"], pa.string()),
+            "payload": pa.array([png, gif, jpeg, b"zz"], pa.large_binary()),
+        }
+    )
+    out = SniffMediaHeaders()(t).to_pandas()
+    assert out["format"].tolist() == ["png", "gif", "jpeg", "unknown"]
+    assert out["width"].tolist() == [640, 320, 250, 0]
+    assert out["height"].tolist() == [480, 200, 100, 0]
