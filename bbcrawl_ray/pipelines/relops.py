@@ -233,8 +233,11 @@ def auto_join(
     right = right.materialize()
     nbytes = right.size_bytes() or 0
     if nbytes <= broadcast_bytes:
+        # schema-safe: Ray 2.49 to_pandas() drops columns on zero-row
+        # datasets, and merge() on a column-less frame raises KeyError —
+        # an empty dimension side must yield an empty inner join instead
         return broadcast_join(
-            left, right.to_pandas(), left_on=left_on, right_on=right_on
+            left, to_pandas_schema_safe(right), left_on=left_on, right_on=right_on
         )
     return hash_join(
         left, right, on=left_on, right_on=right_on, num_partitions=num_partitions

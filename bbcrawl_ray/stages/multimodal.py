@@ -71,8 +71,13 @@ def sniff_media_header(payload: bytes) -> tuple[str, int, int]:
     import struct
 
     if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
-        # IHDR is mandatory-first: width/height big-endian at 16..24
+        # IHDR is mandatory-first: width/height big-endian at 16..24.
+        # The PNG spec caps both at 2^31-1; larger values are corrupt
+        # bytes behind a valid magic — report the container with zeroed
+        # dims rather than overflowing the int32 output column.
         w, h = struct.unpack(">II", payload[16:24])
+        if w >= 1 << 31 or h >= 1 << 31:
+            return "png", 0, 0
         return "png", w, h
     if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
@@ -83,9 +88,14 @@ def sniff_media_header(payload: bytes) -> tuple[str, int, int]:
         n = len(payload)
         while i + 9 <= n and payload[i] == 0xFF:
             marker = payload[i + 1]
+            if marker == 0xFF:
+                i += 1  # legal fill byte before a marker (T.81 B.1.1.2)
+                continue
             if marker in (0xC0, 0xC1, 0xC2):
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
                 return "jpeg", w, h
+            if marker == 0xD9:
+                break  # EOI: no frame header seen
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue

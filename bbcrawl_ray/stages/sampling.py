@@ -483,20 +483,9 @@ def weighted_sample(
         return t.take(idx[: min(n, t.num_rows)])
 
     pruned = ds.map_batches(add_rank, batch_format="pyarrow")
-
-    def top_n(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["_wrank", key_col], kind="mergesort").head(n)
-
-    # single global group: the pruned stream is ≤ n × blocks rows
-    out = pruned.map_batches(
-        lambda t: t.append_column("_g", pa.array([0] * t.num_rows, pa.int32())),
-        batch_format="pyarrow",
-    )
-    return (
-        out.groupby("_g")
-        .map_groups(top_n, batch_format="pandas")
-        .drop_columns(["_wrank", "_g"])
-    )
+    # engine sort+limit over the pruned (≤ n × blocks rows) stream —
+    # no single-task pandas funnel
+    return pruned.sort(["_wrank", key_col]).limit(n).drop_columns(["_wrank"])
 
 
 def grouped_approx_distinct(

@@ -877,3 +877,25 @@ def test_sniff_media_headers_real_bytes():
     assert out["format"].tolist() == ["png", "gif", "jpeg", "unknown"]
     assert out["width"].tolist() == [640, 320, 250, 0]
     assert out["height"].tolist() == [480, 200, 100, 0]
+
+
+def test_sniff_media_header_malformed_and_fill_bytes():
+    """Corrupt PNG dims degrade to zeros (no int32 overflow crash), and
+    JPEG fill bytes / EOI are handled per spec."""
+    import struct
+
+    from bbcrawl_ray.stages.multimodal import sniff_media_header
+
+    bad_png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + b"\xff" * 13
+    assert sniff_media_header(bad_png) == ("png", 0, 0)
+    # JPEG with a fill byte (0xFF 0xFF 0xC0 ...) before the SOF marker
+    jpeg_fill = (
+        b"\xff\xd8"
+        + b"\xff\xff"  # legal fill byte then marker start
+        + b"\xc0"[0:0]  # (fill continues into the real marker below)
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 10, 20) + b"\x01\x11\x00"
+    )
+    assert sniff_media_header(jpeg_fill) == ("jpeg", 20, 10)
+    # EOI before any SOF: dimensions unknown, no crash
+    assert sniff_media_header(b"\xff\xd8\xff\xd9" + b"\x00" * 8) == ("jpeg", 0, 0)

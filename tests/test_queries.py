@@ -110,3 +110,19 @@ def test_auto_join_paths_agree(ray_session, sf_dir):
     )
     assert len(broadcast) > 0
     pd.testing.assert_frame_equal(broadcast, hashed)
+
+
+def test_auto_join_empty_right(ray_session):
+    """An empty dimension side yields an empty inner join, not a
+    KeyError from Ray's zero-column to_pandas on empty datasets."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bbcrawl_ray.pipelines import relops as R
+
+    left = rd.from_arrow(pa.table({"a": pa.array([1, 2, 3], pa.int64())}))
+    right = rd.from_arrow(
+        pa.table({"b": pa.array([], pa.int64()), "c": pa.array([], pa.string())})
+    )
+    out = R.auto_join(left, right, left_on="a", right_on="b").to_pandas()
+    assert len(out) == 0
