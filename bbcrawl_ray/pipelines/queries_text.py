@@ -397,6 +397,17 @@ def q_knn_ivf_recall(sf_dir: str) -> pd.DataFrame:
 # multimodal (stubbed codec, real plumbing)
 
 
+def q_packed_sequences(sf_dir: str) -> Dataset:
+    """LM-pretraining sequence packing (rows-only: the hash-shard
+    concatenation order is engine-defined, not SQL-expressible): docs
+    tokenize, token-ids concatenate within hash shards, and fixed
+    512-id training sequences come out — every row exactly seq_len
+    ids, only each shard's partial tail dropped (conservation
+    bounds-tested in pytest)."""
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return T.pack_sequences(ds, seq_len=512)
+
+
 def q_media_headers(sf_dir: str) -> Dataset:
     """ORACLE-BACKED codec-free media introspection: each doc gets a
     spec-conformant PNG header whose dimensions derive from its doc_id,
@@ -682,6 +693,7 @@ TEXT_QUERIES = {
     "knn_ivf_recall": q_knn_ivf_recall,
     "media_features": q_media_features,
     "media_headers": q_media_headers,
+    "packed_sequences": q_packed_sequences,
     "crawl_documents": q_crawl_documents,
     "read_seeds": q_read_seeds,
     "approx_distinct": q_approx_distinct,

@@ -306,3 +306,99 @@ def repetition_signals_batch(
             "top_token_fraction": pa.array(top_frac, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — the LM-pretraining "last mile": tokenized docs
+# concatenate into fixed-length training sequences. Packing is GLOBAL
+# state in the naive formulation (a sequence may span docs), so the
+# distributed form packs within hash shards: deterministic, carry-free,
+# and each shard's single partial tail is the only loss (bounded by
+# shards × (seq_len-1) tokens corpus-wide).
+
+
+def pack_sequences(
+    ds: Dataset,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    col: str = "text",
+    vocab_bits: int = 16,
+    n_shards: int | None = None,
+) -> Dataset:
+    """documents → fixed-length token-id sequences for LM pretraining.
+
+    Tokens hash to ids in a 2^vocab_bits space (a stand-in for a real
+    BPE vocab — the engine's job is the dataflow, not the tokenizer).
+    Docs route to ``n_shards`` hash shards (data-sized by default);
+    each shard sorts its docs by id (deterministic concatenation
+    order), concatenates the id stream, and reshapes to (k, seq_len) —
+    pure numpy, no per-token Python. Output rows:
+    (shard:int32, seq_index:int64, token_ids:list<int32>[seq_len],
+    n_docs_touched:int64). Every row carries EXACTLY seq_len ids; per
+    shard only the final partial tail is dropped."""
+    from ..functions.urlfns import hash64_batch_fast
+    from ..pipelines.relops import data_sized_shards
+
+    if n_shards is None:
+        n_shards = data_sized_shards(ds.count(), target_rows=500_000, min_shards=8)
+    shards = n_shards
+    mask = (1 << vocab_bits) - 1
+
+    def tok_ids(t: pa.Table) -> pa.Table:
+        flat, parent, keep = flat_tokens(t[col])
+        parent = parent[keep]
+        toks = flat.filter(pa.array(keep))
+        # token → id: one hash per DISTINCT token in the batch
+        enc = pc.dictionary_encode(toks)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_pylist()
+        vocab_ids = (hash64_batch_fast(vocab) & np.uint64(mask)).astype(np.int32)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = vocab_ids[codes]
+        doc_ids = t[id_col].to_numpy(zero_copy_only=False)
+        # one row per doc: its id array (list column), shard, token count
+        starts = np.flatnonzero(np.diff(parent, prepend=-1))
+        doc_rows = parent[starts]
+        offsets = np.append(starts, len(parent)).astype(np.int32)
+        id_list = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(ids, pa.int32())
+        )
+        keys = [str(k) for k in doc_ids[doc_rows]]
+        shard = (hash64_batch_fast(keys) % np.uint64(shards)).astype(np.int32)
+        return pa.table(
+            {
+                "_shard": pa.array(shard, pa.int32()),
+                id_col: pa.array(doc_ids[doc_rows]),
+                "ids": id_list,
+            }
+        )
+
+    def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(g.columns[1], kind="mergesort")  # id_col
+        stream = np.concatenate([np.asarray(x, np.int32) for x in g["ids"]])
+        k = len(stream) // seq_len
+        shard_id = int(g["_shard"].iloc[0])
+        if k == 0:
+            return pd.DataFrame(
+                {
+                    "shard": pd.array([], dtype="int32"),
+                    "seq_index": pd.array([], dtype="int64"),
+                    "token_ids": pd.Series([], dtype=object),
+                    "n_docs_touched": pd.array([], dtype="int64"),
+                }
+            )
+        seqs = stream[: k * seq_len].reshape(k, seq_len)
+        return pd.DataFrame(
+            {
+                "shard": np.full(k, shard_id, np.int32),
+                "seq_index": np.arange(k, dtype=np.int64),
+                "token_ids": [row for row in seqs],
+                "n_docs_touched": np.full(k, len(g), np.int64),
+            }
+        )
+
+    keyed = ds.select_columns([id_col, col]).map_batches(
+        tok_ids, batch_format="pyarrow"
+    )
+    return keyed.groupby("_shard").map_groups(pack_shard, batch_format="pandas")

@@ -123,3 +123,42 @@ def test_repetition_signals_batch_boundary_independence():
     import pandas as pd
 
     pd.testing.assert_frame_equal(whole, pd.concat(parts, ignore_index=True))
+
+
+def test_pack_sequences_invariants(ray_session, sf_dir):
+    """Sequence packing: every row exactly seq_len ids; total packed
+    tokens = total corpus tokens minus each shard's partial tail."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bbcrawl_ray.pipelines import relops as R
+
+    seq_len = 64
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    packed = T.pack_sequences(ds, seq_len=seq_len, n_shards=4).to_pandas()
+    assert len(packed) > 0
+    assert all(len(row) == seq_len for row in packed["token_ids"])
+    # per-shard conservation: k = floor(shard_tokens / seq_len)
+    total_tokens = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {"n": pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["n"]
+        .sum()
+    )
+    packed_tokens = len(packed) * seq_len
+    assert packed_tokens <= total_tokens
+    # the loss is bounded by shards * (seq_len - 1)
+    assert total_tokens - packed_tokens < 4 * seq_len
+    # deterministic: same input, same pack
+    again = T.pack_sequences(ds, seq_len=seq_len, n_shards=4).to_pandas()
+    a = sorted(map(tuple, packed["token_ids"]))
+    b = sorted(map(tuple, again["token_ids"]))
+    assert a == b
+    # ids stay in the vocab space
+    flat = np.concatenate([np.asarray(x) for x in packed["token_ids"]])
+    assert flat.min() >= 0 and flat.max() < (1 << 16)
