@@ -397,6 +397,68 @@ def q_knn_ivf_recall(sf_dir: str) -> pd.DataFrame:
 # multimodal (stubbed codec, real plumbing)
 
 
+def _doc_trigrams(col) -> tuple[pa.Array, np.ndarray]:
+    """(gram strings, parent doc indices) for word-trigrams of a text
+    column — Arrow slicing + one C++ join kernel, no Python per gram.
+    Tokenization and gram construction mirror the n-gram oracle CTE."""
+    flat, parent, keep = T.flat_tokens(col)
+    toks = flat.filter(pa.array(keep))
+    parent = parent[keep]
+    n = len(toks)
+    if n < 3:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    same = parent[2:] == parent[:-2]
+    grams = pc.binary_join_element_wise(
+        toks.slice(0, n - 2), toks.slice(1, n - 2), toks.slice(2, n - 2), " "
+    )
+    return grams.filter(pa.array(same)), parent[:-2][same]
+
+
+def q_decontaminate(sf_dir: str) -> Dataset:
+    """Benchmark DECONTAMINATION (oracle-backed): docs sharing any
+    word-trigram with the 'benchmark' slice (doc_id < 10) are flagged
+    with their overlapping-distinct-trigram count — the standard
+    train/test-overlap scrub of an LM data pipeline. The benchmark gram
+    set is bounded by benchmark size (ships once inside the closure);
+    candidate docs stream through one shuffle-free pass: C++ ``is_in``
+    prunes to matching grams first, distinct-per-doc counting runs on
+    that (tiny) remainder."""
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bench_ds = R.filter_arrow(ds, lambda t: pc.less(t["doc_id"], pa.scalar(10)))
+
+    bench_grams: set = set()
+    for b in bench_ds.map_batches(
+        lambda t: pa.table({"g": _doc_trigrams(t["text"])[0].unique()}),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        bench_grams.update(b["g"].to_pylist())
+    bench_arr = pa.array(sorted(bench_grams), pa.string())
+
+    rest = R.filter_arrow(ds, lambda t: pc.greater_equal(t["doc_id"], pa.scalar(10)))
+
+    def flag(t: pa.Table) -> pa.Table:
+        grams, parent = _doc_trigrams(t["text"])
+        hit = pc.is_in(grams, value_set=bench_arr).to_numpy(zero_copy_only=False)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], t["doc_id"].type),
+                    "n_contaminated": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame({"d": parent[hit], "g": grams.filter(pa.array(hit))})
+        counts = df.drop_duplicates().groupby("d", sort=False).size()
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[counts.index.to_numpy()]),
+                "n_contaminated": pa.array(counts.to_numpy(), pa.int64()),
+            }
+        )
+
+    return rest.map_batches(flag, batch_format="pyarrow")
+
+
 def q_packed_sequences(sf_dir: str) -> Dataset:
     """LM-pretraining sequence packing (rows-only: the hash-shard
     concatenation order is engine-defined, not SQL-expressible): docs
@@ -694,6 +756,7 @@ TEXT_QUERIES = {
     "media_features": q_media_features,
     "media_headers": q_media_headers,
     "packed_sequences": q_packed_sequences,
+    "decontaminate": q_decontaminate,
     "crawl_documents": q_crawl_documents,
     "read_seeds": q_read_seeds,
     "approx_distinct": q_approx_distinct,
@@ -909,6 +972,21 @@ TEXT_ORACLE_SQL = {
                                       ORDER BY score DESC, neighbor_id ASC) AS rank
             FROM s
         ) WHERE rank <= 5
+    """,
+    "decontaminate": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+            FROM toks, UNNEST(generate_series(1, len(a) - 2)) AS t(i)
+        ), bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id < 10
+        )
+        SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_contaminated
+        FROM grams g JOIN bench b ON g.g = b.g
+        WHERE g.doc_id >= 10
+        GROUP BY g.doc_id
     """,
     "media_headers": """
         SELECT doc_id,
