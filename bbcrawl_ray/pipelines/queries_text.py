@@ -80,6 +80,62 @@ def q_common_token_fraction(sf_dir: str) -> Dataset:
     return ds.map_batches(frac, batch_format="pyarrow")
 
 
+def q_doc_token_freq(sf_dir: str) -> Dataset:
+    """Per-doc mean GLOBAL frequency of its tokens — an integer-exact
+    'perplexity proxy' (common-word-heavy docs score high, rare-word
+    docs low) avoiding cross-engine transcendental hazards: the corpus
+    token-count table is all int64, the per-doc sum is int64, and ONE
+    IEEE division yields the mean. Two passes: the combiner-style
+    count table (bounded by VOCAB, not corpus) ships once inside the
+    closure; docs then stream through a dictionary-encode + merge per
+    batch. At 10^10 docs the vocab table is the thing to gate: above
+    ~64 MB it should become a hash join (same split as
+    ``representatives``); here it is dimension-sized by construction."""
+    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        flat, _, keep = T.flat_tokens(t["text"])
+        vc = pc.value_counts(flat.filter(pa.array(keep)))
+        return pa.table(
+            {"token": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    vocab = (
+        R.partial_group_aggregate(
+            ds.map_batches(local_counts, batch_format="pyarrow"),
+            ["token"],
+            sums={"n": "n"},
+        )
+        .to_pandas()
+        .set_index("token")["n"]
+    )
+    import ray as _ray
+
+    vocab_ref = _ray.put(vocab)
+
+    def score(t: pa.Table) -> pa.Table:
+        counts = _ray.get(vocab_ref)
+        n_docs = t.num_rows
+        flat, parent, keep = T.flat_tokens(t["text"])
+        toks = flat.filter(pa.array(keep)).to_pandas()
+        par = parent[keep]
+        freq = counts.reindex(toks).to_numpy()
+        n_tokens = np.bincount(par, minlength=n_docs).astype(np.int64)
+        sum_freq = np.zeros(n_docs, np.int64)
+        np.add.at(sum_freq, par, freq.astype(np.int64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg = np.where(n_tokens > 0, sum_freq / n_tokens, np.nan)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "sum_freq": pa.array(sum_freq, pa.int64()),
+                "avg_token_freq": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def q_lang_detect(sf_dir: str) -> Dataset:
     """Heuristic langid (rows-only: not SQL-expressible)."""
     ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -736,6 +792,7 @@ TEXT_QUERIES = {
     "quality_counts": q_quality_counts,
     "repetition_signals": q_repetition_signals,
     "common_token_fraction": q_common_token_fraction,
+    "doc_token_freq": q_doc_token_freq,
     "lang_detect": q_lang_detect,
     "doc_fingerprints": q_doc_fingerprints,
     "top_tokens": q_top_tokens,
@@ -864,6 +921,26 @@ TEXT_ORACLE_SQL = {
                CAST(st.n_common AS DOUBLE) / st.n_tokens
                    AS common_token_fraction
         FROM documents d LEFT JOIN st USING (doc_id)
+    """,
+    "doc_token_freq": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+            FROM documents
+        ), f AS (
+            SELECT doc_id, unnest(a) AS tok FROM toks
+        ), fne AS (
+            SELECT * FROM f WHERE tok <> ''
+        ), counts AS (
+            SELECT tok, count(*) AS c FROM fne GROUP BY tok
+        ), per AS (
+            SELECT fne.doc_id, count(*) AS n, sum(c.c) AS s
+            FROM fne JOIN counts c USING (tok)
+            GROUP BY fne.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(per.s, 0) AS BIGINT) AS sum_freq,
+               CAST(per.s AS DOUBLE) / per.n AS avg_token_freq
+        FROM documents d LEFT JOIN per USING (doc_id)
     """,
     "top_tokens": r"""
         WITH toks AS (
