@@ -479,22 +479,38 @@ def q_decontaminate(sf_dir: str) -> Dataset:
     candidate docs stream through one shuffle-free pass: C++ ``is_in``
     prunes to matching grams first, distinct-per-doc counting runs on
     that (tiny) remainder."""
-    ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    bench_ds = R.filter_arrow(ds, lambda t: pc.less(t["doc_id"], pa.scalar(10)))
+    import ray as _ray
 
+    # bench slice pruned AT THE READER (row-filter pushdown), not a
+    # full-corpus scan discarded post-read
+    bench_ds = R.read_table(
+        sf_dir,
+        "documents",
+        columns=["doc_id", "text"],
+        filter_expr=(pc.field("doc_id") < 10),
+    )
     bench_grams: set = set()
     for b in bench_ds.map_batches(
         lambda t: pa.table({"g": _doc_trigrams(t["text"])[0].unique()}),
         batch_format="pyarrow",
     ).iter_batches(batch_format="pyarrow"):
         bench_grams.update(b["g"].to_pylist())
-    bench_arr = pa.array(sorted(bench_grams), pa.string())
+    # ray.put once — closure capture would re-ship the gram set with
+    # the serialized UDF to every worker (relops broadcast convention)
+    bench_ref = _ray.put(pa.array(sorted(bench_grams), pa.string()))
 
-    rest = R.filter_arrow(ds, lambda t: pc.greater_equal(t["doc_id"], pa.scalar(10)))
+    rest = R.read_table(
+        sf_dir,
+        "documents",
+        columns=["doc_id", "text"],
+        filter_expr=(pc.field("doc_id") >= 10),
+    )
 
     def flag(t: pa.Table) -> pa.Table:
         grams, parent = _doc_trigrams(t["text"])
-        hit = pc.is_in(grams, value_set=bench_arr).to_numpy(zero_copy_only=False)
+        hit = pc.is_in(grams, value_set=_ray.get(bench_ref)).to_numpy(
+            zero_copy_only=False
+        )
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
         if not hit.any():
             return pa.table(
@@ -1050,14 +1066,8 @@ TEXT_ORACLE_SQL = {
             FROM s
         ) WHERE rank <= 5
     """,
-    "decontaminate": r"""
-        WITH toks AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
-            FROM documents
-        ), grams AS (
-            SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
-            FROM toks, UNNEST(generate_series(1, len(a) - 2)) AS t(i)
-        ), bench AS (
+    "decontaminate": rf"""
+        WITH {_NGRAM_CTE_PREFIX}, bench AS (
             SELECT DISTINCT g FROM grams WHERE doc_id < 10
         )
         SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_contaminated

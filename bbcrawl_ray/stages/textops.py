@@ -374,27 +374,36 @@ def pack_sequences(
             }
         )
 
-    def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(g.columns[1], kind="mergesort")  # id_col
-        stream = np.concatenate([np.asarray(x, np.int32) for x in g["ids"]])
+    def pack_shard(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(id_col, kind="mergesort")
+        lens = np.array([len(x) for x in g["ids"]], np.int64)
+        stream = (
+            np.concatenate([np.asarray(x, np.int32) for x in g["ids"]])
+            if len(g)
+            else np.empty(0, np.int32)
+        )
         k = len(stream) // seq_len
-        shard_id = int(g["_shard"].iloc[0])
-        if k == 0:
-            return pd.DataFrame(
-                {
-                    "shard": pd.array([], dtype="int32"),
-                    "seq_index": pd.array([], dtype="int64"),
-                    "token_ids": pd.Series([], dtype=object),
-                    "n_docs_touched": pd.array([], dtype="int64"),
-                }
-            )
-        seqs = stream[: k * seq_len].reshape(k, seq_len)
-        return pd.DataFrame(
+        shard_id = int(g["_shard"].iloc[0]) if len(g) else 0
+        # per-sequence provenance: docs whose token span overlaps the
+        # sequence's [j·L, (j+1)·L) slice of the shard stream — NOT the
+        # shard's total doc count (tail-only docs don't touch any row)
+        doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(g) else np.empty(0)
+        doc_ends = np.cumsum(lens) if len(g) else np.empty(0)
+        j = np.arange(k, dtype=np.int64)
+        touched = np.searchsorted(doc_starts, (j + 1) * seq_len, side="left") - np.searchsorted(
+            doc_ends, j * seq_len, side="right"
+        )
+        # fully-typed Arrow output on EVERY path (an untyped empty pandas
+        # frame infers token_ids: null and emits mixed-schema blocks)
+        ids_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(stream[: k * seq_len], pa.int32()), seq_len
+        )
+        return pa.table(
             {
-                "shard": np.full(k, shard_id, np.int32),
-                "seq_index": np.arange(k, dtype=np.int64),
-                "token_ids": [row for row in seqs],
-                "n_docs_touched": np.full(k, len(g), np.int64),
+                "shard": pa.array(np.full(k, shard_id, np.int32), pa.int32()),
+                "seq_index": pa.array(j, pa.int64()),
+                "token_ids": ids_arr,
+                "n_docs_touched": pa.array(touched.astype(np.int64), pa.int64()),
             }
         )
 

@@ -162,3 +162,34 @@ def test_pack_sequences_invariants(ray_session, sf_dir):
     # ids stay in the vocab space
     flat = np.concatenate([np.asarray(x) for x in packed["token_ids"]])
     assert flat.min() >= 0 and flat.max() < (1 << 16)
+
+
+def test_pack_sequences_docs_touched_and_empty_shard(ray_session):
+    """n_docs_touched counts docs whose span overlaps each sequence (not
+    the shard total), and token-starved shards emit TYPED empty blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    # 3 docs x 30 tokens in ONE shard, seq_len 40: 90 tokens -> 2 seqs.
+    # seq 0 = [0,40) spans docs 1-2; seq 1 = [40,80) spans docs 2-3.
+    texts = [" ".join(f"w{d}t{i}" for i in range(30)) for d in range(3)]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": texts})
+    )
+    out = (
+        T.pack_sequences(ds, seq_len=40, n_shards=1)
+        .to_pandas()
+        .sort_values("seq_index")
+    )
+    assert len(out) == 2
+    assert out["n_docs_touched"].tolist() == [2, 2]
+    # many shards + tiny corpus: some shards have < seq_len tokens and
+    # must produce TYPED empties that concat cleanly with packed blocks
+    sparse_ds = T.pack_sequences(ds, seq_len=20, n_shards=8)
+    assert sparse_ds.schema() is not None
+    sparse = sparse_ds.to_pandas()
+    assert len(sparse) >= 1  # every doc (30 tokens) packs >= 1 seq of 20
+    assert all(len(r) == 20 for r in sparse["token_ids"])
+    flat = np.concatenate([np.asarray(x) for x in sparse["token_ids"]])
+    assert len(flat) % 20 == 0
