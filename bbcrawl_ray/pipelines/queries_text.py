@@ -260,6 +260,22 @@ def q_ngram_clusters(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["doc_id"]).reset_index(drop=True)
 
 
+def q_ngram_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Near-dup CLUSTER-SIZE distribution (oracle-backed): how many
+    k-member duplicate clusters the exact-trigram CC produces — the
+    dedup-quality report a corpus curator reads before choosing
+    thresholds. Composes the connected components with a grouped count
+    + a second count over sizes, all SQL-reproducible."""
+    clusters = q_ngram_clusters(sf_dir)
+    sizes = clusters.groupby("cluster_id").size().rename("cluster_n").reset_index()
+    hist = (
+        sizes.groupby("cluster_n").size().rename("n_clusters").reset_index()
+    )
+    hist["cluster_n"] = hist["cluster_n"].astype("int64")
+    hist["n_clusters"] = hist["n_clusters"].astype("int64")
+    return hist.sort_values("cluster_n").reset_index(drop=True)
+
+
 def q_corpus_prep(sf_dir: str) -> Dataset:
     """Flagship COMPOSED training-data prep chain (oracle-backed): the
     sequence a real corpus build runs before tokenization —
@@ -816,6 +832,7 @@ TEXT_QUERIES = {
     "dedup_keep_first": q_dedup_keep_first,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ngram_clusters": q_ngram_clusters,
+    "ngram_cluster_sizes": q_ngram_cluster_sizes,
     "corpus_prep": q_corpus_prep,
     "minhash_clusters": q_minhash_clusters,
     "minhash_clusters_distributed": q_minhash_clusters_distributed,
@@ -1009,6 +1026,32 @@ TEXT_ORACLE_SQL = {
         )
         SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
         FROM walk GROUP BY node
+    """,
+    "ngram_cluster_sizes": rf"""
+        WITH RECURSIVE {_NGRAM_CTE_PREFIX}, pairs AS (
+            SELECT co.left_id, co.right_id
+            FROM co
+            JOIN sizes s1 ON co.left_id = s1.doc_id
+            JOIN sizes s2 ON co.right_id = s2.doc_id
+            WHERE 2 * co.inter >= s1.n + s2.n - co.inter
+        ), edges AS (
+            SELECT left_id AS a, right_id AS b FROM pairs
+            UNION
+            SELECT right_id, left_id FROM pairs
+        ), walk (node, label) AS (
+            SELECT a AS node, a AS label FROM edges
+            UNION
+            SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b
+        ), clusters AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM walk GROUP BY node
+        ), csizes AS (
+            SELECT cluster_id, count(*) AS cluster_n
+            FROM clusters GROUP BY cluster_id
+        )
+        SELECT CAST(cluster_n AS BIGINT) AS cluster_n,
+               CAST(count(*) AS BIGINT) AS n_clusters
+        FROM csizes GROUP BY cluster_n
     """,
     "corpus_prep": r"""
         WITH q AS (
