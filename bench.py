@@ -227,6 +227,8 @@ BENCH_QUERIES = [
     # Q5-shaped join (deepest join composition in the suite)
     "repetition_signals",
     "nation_revenue",
+    # the two-pass broadcast-vocab scoring pipeline (perplexity proxy)
+    "doc_token_freq",
 ]
 
 
