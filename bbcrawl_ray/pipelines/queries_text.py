@@ -276,6 +276,38 @@ def q_ngram_cluster_sizes(sf_dir: str) -> pd.DataFrame:
     return hist.sort_values("cluster_n").reset_index(drop=True)
 
 
+def q_source_mix(sf_dir: str) -> pd.DataFrame:
+    """Data-MIXTURE report (oracle-backed): per-source doc/token counts
+    and each source's share of corpus tokens — the table a pretraining
+    run documents before sampling weights are chosen. One combiner
+    aggregate; the share division is int64/int64 (exact both engines)."""
+    ds = R.read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(t["text"], r"\S+"), pa.int64()
+                ),
+            }
+        )
+
+    agg = R.partial_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["source"],
+        sums={"sum_tokens": "n_tokens"},
+        count_as="n_docs",
+    ).to_pandas()
+    total = int(agg["sum_tokens"].sum())
+    agg["token_share"] = agg["sum_tokens"] / total
+    return (
+        agg[["source", "n_docs", "sum_tokens", "token_share"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
 def q_corpus_prep(sf_dir: str) -> Dataset:
     """Flagship COMPOSED training-data prep chain (oracle-backed): the
     sequence a real corpus build runs before tokenization —
@@ -834,6 +866,7 @@ TEXT_QUERIES = {
     "ngram_clusters": q_ngram_clusters,
     "ngram_cluster_sizes": q_ngram_cluster_sizes,
     "corpus_prep": q_corpus_prep,
+    "source_mix": q_source_mix,
     "minhash_clusters": q_minhash_clusters,
     "minhash_clusters_distributed": q_minhash_clusters_distributed,
     "simhash_pairs": q_simhash_pairs,
@@ -1026,6 +1059,19 @@ TEXT_ORACLE_SQL = {
         )
         SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
         FROM walk GROUP BY node
+    """,
+    "source_mix": r"""
+        WITH s AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(regexp_extract_all(text, '\S+'))) AS BIGINT)
+                       AS sum_tokens
+            FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, sum_tokens,
+               CAST(sum_tokens AS DOUBLE)
+                   / (SELECT SUM(sum_tokens) FROM s) AS token_share
+        FROM s
     """,
     "ngram_cluster_sizes": rf"""
         WITH RECURSIVE {_NGRAM_CTE_PREFIX}, pairs AS (
