@@ -80,17 +80,23 @@ def q_common_token_fraction(sf_dir: str) -> Dataset:
     return ds.map_batches(frac, batch_format="pyarrow")
 
 
-def q_doc_token_freq(sf_dir: str) -> Dataset:
+def q_doc_token_freq(sf_dir: str, vocab_broadcast_bytes: int = 64 << 20) -> Dataset:
     """Per-doc mean GLOBAL frequency of its tokens — an integer-exact
     'perplexity proxy' (common-word-heavy docs score high, rare-word
     docs low) avoiding cross-engine transcendental hazards: the corpus
     token-count table is all int64, the per-doc sum is int64, and ONE
-    IEEE division yields the mean. Two passes: the combiner-style
-    count table (bounded by VOCAB, not corpus) ships once inside the
-    closure; docs then stream through a dictionary-encode + merge per
-    batch. At 10^10 docs the vocab table is the thing to gate: above
-    ~64 MB it should become a hash join (same split as
-    ``representatives``); here it is dimension-sized by construction."""
+    IEEE division yields the mean.
+
+    The vocab table is BYTE-GATED (round-3 verdict #5): natural
+    language keeps it dimension-sized, but an adversarial corpus
+    (random strings) makes it data-proportional. Under the gate the
+    measured vocab ships once (ray.put) and docs stream through a
+    dictionary-encode + merge per batch; above it the per-(doc, token)
+    counts meet the vocab in the engine's hash join and per-doc sums
+    re-aggregate — nothing data-proportional ever lands on the driver
+    on either path."""
+    import ray as _ray
+
     ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def local_counts(t: pa.Table) -> pa.Table:
@@ -100,40 +106,88 @@ def q_doc_token_freq(sf_dir: str) -> Dataset:
             {"token": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
         )
 
-    vocab = (
-        R.partial_group_aggregate(
-            ds.map_batches(local_counts, batch_format="pyarrow"),
-            ["token"],
-            sums={"n": "n"},
-        )
-        .to_pandas()
-        .set_index("token")["n"]
-    )
-    import ray as _ray
+    vocab_ds = R.partial_group_aggregate(
+        ds.map_batches(local_counts, batch_format="pyarrow"),
+        ["token"],
+        sums={"n": "n"},
+    ).materialize()
 
-    vocab_ref = _ray.put(vocab)
+    if (vocab_ds.size_bytes() or 0) <= vocab_broadcast_bytes:
+        vocab = R.to_pandas_schema_safe(vocab_ds).set_index("token")["n"]
+        vocab_ref = _ray.put(vocab)
 
-    def score(t: pa.Table) -> pa.Table:
-        counts = _ray.get(vocab_ref)
-        n_docs = t.num_rows
+        def score(t: pa.Table) -> pa.Table:
+            counts = _ray.get(vocab_ref)
+            n_docs = t.num_rows
+            flat, parent, keep = T.flat_tokens(t["text"])
+            toks = flat.filter(pa.array(keep)).to_pandas()
+            par = parent[keep]
+            freq = counts.reindex(toks).to_numpy()
+            n_tokens = np.bincount(par, minlength=n_docs).astype(np.int64)
+            sum_freq = np.zeros(n_docs, np.int64)
+            np.add.at(sum_freq, par, freq.astype(np.int64))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                avg = np.where(n_tokens > 0, sum_freq / n_tokens, np.nan)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "sum_freq": pa.array(sum_freq, pa.int64()),
+                    "avg_token_freq": pa.array(avg, pa.float64()),
+                }
+            )
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # join path: per-(doc, token) local counts ⋈ vocab on token (both
+    # sides hash-shuffle), weighted per-doc re-aggregation, then a
+    # left_outer join back to the doc ids so zero-token docs keep their
+    # (0, NaN) row exactly like the broadcast path / SQL oracle
+    def doc_token_counts(t: pa.Table) -> pa.Table:
         flat, parent, keep = T.flat_tokens(t["text"])
-        toks = flat.filter(pa.array(keep)).to_pandas()
-        par = parent[keep]
-        freq = counts.reindex(toks).to_numpy()
-        n_tokens = np.bincount(par, minlength=n_docs).astype(np.int64)
-        sum_freq = np.zeros(n_docs, np.int64)
-        np.add.at(sum_freq, par, freq.astype(np.int64))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            avg = np.where(n_tokens > 0, sum_freq / n_tokens, np.nan)
+        toks = flat.filter(pa.array(keep))
+        doc_ids = t["doc_id"].combine_chunks().take(pa.array(parent[keep]))
+        work = pa.table({"doc_id": doc_ids, "token": toks})
+        g = work.group_by(["doc_id", "token"]).aggregate([("token", "count")])
+        return g.rename_columns(
+            ["cnt" if c == "token_count" else c for c in g.column_names]
+        )
+
+    per_doc_tok = ds.map_batches(doc_token_counts, batch_format="pyarrow")
+    joined = R.hash_join(per_doc_tok, vocab_ds, on="token")
+
+    def weigh(t: pa.Table) -> pa.Table:
+        cnt = pc.cast(t["cnt"], pa.int64())
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "sum_freq": pa.array(sum_freq, pa.int64()),
-                "avg_token_freq": pa.array(avg, pa.float64()),
+                "wfreq": pc.multiply_checked(cnt, pc.cast(t["n"], pa.int64())),
+                "cnt": cnt,
             }
         )
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    agg = R.partial_group_aggregate(
+        joined.map_batches(weigh, batch_format="pyarrow"),
+        ["doc_id"],
+        sums={"sum_freq": "wfreq", "n_tok": "cnt"},
+    )
+    out = R.hash_join(
+        ds.select_columns(["doc_id"]), agg, on="doc_id", join_type="left_outer"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sum_freq = pc.cast(t["sum_freq"], pa.int64())
+        avg = pc.divide(
+            pc.cast(sum_freq, pa.float64()), pc.cast(t["n_tok"], pa.float64())
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "sum_freq": pc.coalesce(sum_freq, pa.scalar(0, pa.int64())),
+                "avg_token_freq": avg,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def q_lang_detect(sf_dir: str) -> Dataset:
@@ -215,26 +269,26 @@ def q_dedup_keep_first(sf_dir: str) -> Dataset:
     )
 
 
-def q_minhash_clusters_distributed(sf_dir: str) -> pd.DataFrame:
+def q_minhash_clusters_distributed(sf_dir: str) -> Dataset:
     """``minhash_clusters`` with every broadcast/driver gate FORCED off
     (rows-only): signature prefilter and exact verify run as
     hash-partitioned joins, connected components as min-label
     propagation — the exact 100-TB scale path, exercised by the driver
     instead of only pytest. Must produce the same clusters as the gated
-    variant (parity-pinned in tests/test_dedup.py)."""
+    variant (parity-pinned in tests/test_dedup.py). Returns the
+    DATASET — at web dup rates the (doc_id, cluster_id) map is 30-50%
+    of all doc ids, so the wrapper never collects it (round-3 verdict
+    #4); the driver consumes it like any other Dataset entry."""
     ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = R.to_pandas_schema_safe(
-        D.minhash_dedup(ds, threshold=0.5, broadcast_gates=False, cc_driver_gate=None)
-    )
-    return out.sort_values(["doc_id"]).reset_index(drop=True)
+    return D.minhash_dedup(ds, threshold=0.5, broadcast_gates=False, cc_driver_gate=None)
 
 
-def q_minhash_clusters(sf_dir: str) -> pd.DataFrame:
+def q_minhash_clusters(sf_dir: str) -> Dataset:
     """MinHash+LSH near-dup clusters (rows-only). Fully distributed
-    pipeline; the small (doc_id, cluster_id) result collects at the end."""
+    pipeline; returns the (doc_id, cluster_id) Dataset — never a driver
+    collect (round-3 verdict #4)."""
     ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = R.to_pandas_schema_safe(D.minhash_dedup(ds, threshold=0.5))
-    return out.sort_values(["doc_id"]).reset_index(drop=True)
+    return D.minhash_dedup(ds, threshold=0.5)
 
 
 def q_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
@@ -245,35 +299,36 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
     return D.ngram_jaccard_pairs(ds, n=3, threshold_num=1, threshold_den=2)
 
 
-def q_ngram_clusters(sf_dir: str) -> pd.DataFrame:
+def q_ngram_clusters(sf_dir: str) -> Dataset:
     """ORACLE-BACKED connected components: min-label clusters over the
     EXACT word-trigram Jaccard pair set. Because the input pairs are
     exact (unlike the LSH-derived minhash pairs), the whole clustering
     is SQL-expressible — the oracle walks the same edges with a
     recursive CTE. Exercises ``cluster_propagate`` (the iterative
     edges ⋈ labels propagation used by every dedup family) under a
-    value-hash gate, not just rows-only."""
+    value-hash gate, not just rows-only. Returns the DATASET — the
+    (doc_id, cluster_id) map is data-proportional at web dup rates, so
+    the wrapper never collects it (round-3 verdict #4)."""
     ds = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = D.ngram_jaccard_pairs(ds, n=3, threshold_num=1, threshold_den=2)
-    out = D.cluster_propagate(pairs.select_columns(["left_id", "right_id"]))
-    df = R.to_pandas_schema_safe(out)
-    return df.sort_values(["doc_id"]).reset_index(drop=True)
+    return D.cluster_propagate(pairs.select_columns(["left_id", "right_id"]))
 
 
-def q_ngram_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+def q_ngram_cluster_sizes(sf_dir: str) -> Dataset:
     """Near-dup CLUSTER-SIZE distribution (oracle-backed): how many
     k-member duplicate clusters the exact-trigram CC produces — the
     dedup-quality report a corpus curator reads before choosing
-    thresholds. Composes the connected components with a grouped count
-    + a second count over sizes, all SQL-reproducible."""
+    thresholds. Two DISTRIBUTED grouped counts (cluster sizes, then the
+    size histogram); only the bounded histogram ever reaches the
+    consumer — the full cluster map stays in the cluster (round-3
+    verdict #4)."""
     clusters = q_ngram_clusters(sf_dir)
-    sizes = clusters.groupby("cluster_id").size().rename("cluster_n").reset_index()
-    hist = (
-        sizes.groupby("cluster_n").size().rename("n_clusters").reset_index()
+    sizes = R.partial_group_aggregate(
+        clusters, ["cluster_id"], sums={}, count_as="cluster_n"
+    ).select_columns(["cluster_n"])
+    return R.partial_group_aggregate(
+        sizes, ["cluster_n"], sums={}, count_as="n_clusters"
     )
-    hist["cluster_n"] = hist["cluster_n"].astype("int64")
-    hist["n_clusters"] = hist["n_clusters"].astype("int64")
-    return hist.sort_values("cluster_n").reset_index(drop=True)
 
 
 def q_source_mix(sf_dir: str) -> pd.DataFrame:
@@ -300,7 +355,12 @@ def q_source_mix(sf_dir: str) -> pd.DataFrame:
         count_as="n_docs",
     ).to_pandas()
     total = int(agg["sum_tokens"].sum())
-    agg["token_share"] = agg["sum_tokens"] / total
+    # an all-empty-text corpus: the SQL oracle's share is NULL (x / NULL
+    # sum), so emit NaN explicitly instead of numpy's inf-on-div-by-zero
+    if total == 0:
+        agg["token_share"] = np.nan
+    else:
+        agg["token_share"] = agg["sum_tokens"] / total
     return (
         agg[["source", "n_docs", "sum_tokens", "token_share"]]
         .sort_values("source")

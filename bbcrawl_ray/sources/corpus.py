@@ -211,7 +211,10 @@ class HttpTransport:
         self.timeout = timeout
         self.user_agent = user_agent
 
-    def get(self, url: str, headers: dict | None = None) -> Response:
+    def _open(self, url: str, headers: dict | None):
+        """Open the request WITHOUT reading the body; returns
+        (Response with empty body, open file-like reader). The caller
+        owns the reader (must close it)."""
         import urllib.error
         import urllib.request
 
@@ -224,23 +227,39 @@ class HttpTransport:
 
         opener = urllib.request.build_opener(_NoRedirect)
         try:
-            with opener.open(req, timeout=self.timeout) as resp:
-                headers: dict[str, list[str]] = {}
-                for k, v in resp.headers.items():
-                    headers.setdefault(k, []).append(v)
-                return Response(resp.status, headers, resp.read())
+            resp = opener.open(req, timeout=self.timeout)
+            hdrs: dict[str, list[str]] = {}
+            for k, v in resp.headers.items():
+                hdrs.setdefault(k, []).append(v)
+            return Response(resp.status, hdrs, b""), resp
         except urllib.error.HTTPError as e:
+            # HTTPError IS the open file-like body (non-2xx bodies parse
+            # like any other — api.go:101-114: Go's client.Do does not
+            # error on 404)
             loc = e.headers.get("Location", "") if e.headers else ""
-            try:
-                # non-2xx bodies parse like any other (api.go:101-114:
-                # Go's client.Do does not error on 404)
-                body = e.read()
-            except Exception:  # noqa: BLE001 — connection died mid-body
-                body = b""
-            headers: dict[str, list[str]] = {}
+            hdrs = {}
             for k, v in (e.headers or {}).items():
-                headers.setdefault(k, []).append(v)  # repeats survive
-            return Response(e.code, headers, body, loc)
+                hdrs.setdefault(k, []).append(v)  # repeats survive
+            return Response(e.code, hdrs, b"", loc), e
+
+    def get(self, url: str, headers: dict | None = None) -> Response:
+        meta, reader = self._open(url, headers)
+        try:
+            body = reader.read()
+        except Exception:  # noqa: BLE001 — connection died mid-body
+            body = b""
+        finally:
+            try:
+                reader.close()
+            except Exception:  # noqa: BLE001
+                pass
+        return Response(meta.status, meta.headers, body, meta.redirect_to)
+
+    def get_stream(self, url: str, headers: dict | None = None):
+        """Reference ``io.Copy`` parity (downloader.go:308): the body
+        stays on the wire — the caller pulls it in chunks and closes
+        the reader. GB-scale media never materializes in worker heap."""
+        return self._open(url, headers)
 
 
 def make_transport(kind: str, cfg=None, pages=None):

@@ -1471,6 +1471,15 @@ def ngram_jaccard_pairs(
     Hash collisions merging two grams are ~2^-64 per pair — exactness
     is modulo that, like every hashed-shingle implementation.
     """
+    if threshold_num > threshold_den:
+        # jaccard > 1 is impossible, so the uncollapsed path would emit
+        # nothing — but the collapse path unconditionally emits
+        # jaccard-1 same-group clone pairs, silently breaking the
+        # collapse/uncollapsed parity contract. Refuse loudly instead.
+        raise ValueError(
+            f"ngram_jaccard_pairs: threshold_num ({threshold_num}) must be "
+            f"<= threshold_den ({threshold_den})"
+        )
     core_kw = dict(
         id_col=id_col, text_col=text_col, n=n,
         threshold_num=threshold_num, threshold_den=threshold_den,

@@ -473,6 +473,15 @@ def weighted_sample(
             dtype=np.int64,
         )
         w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # general utility: a zero weight yields inf (NaN when the hash is
+        # 0) and a negative weight INVERTS the ordering — both produce a
+        # silently wrong sample, so refuse loudly (~(w > 0) also catches
+        # NaN weights, for which every comparison is False)
+        if np.any(~(w > 0)):
+            raise ValueError(
+                f"weighted_sample: weight column {weight_col!r} must be "
+                "strictly positive (found <= 0 or NaN)"
+            )
         rank = h.astype(np.float64) / w
         t = t.append_column("_wrank", pa.array(rank, pa.float64()))
         # local prune: the global winners are a subset of every block's

@@ -504,3 +504,221 @@ def test_request_uri_fast_path_parity():
     ]
     for link in cases:
         assert _request_uri(link) == slow(link), link
+
+
+def test_asof_time_buckets_monster_key(ray_session):
+    """Round-3 verdict #3: a SINGLE key holding ~all rows cannot be
+    split by key-sharding — time_buckets partitions it by time range
+    with a boundary carry. Pinned: (a) bit-identical to the unbucketed
+    path and to a merge_asof oracle, (b) every pandas group stays under
+    a per-group row cap ~ hot_rows / buckets."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bbcrawl_ray.pipelines.relops import asof_join
+
+    rng = np.random.default_rng(11)
+    n, rn, B = 40_000, 4_000, 16
+    # one monster key (0) carries ~95% of rows; a few small keys ride along
+    keys = np.where(rng.random(n) < 0.95, 0, rng.integers(1, 5, n)).astype(np.int64)
+    lt = pd.DataFrame(
+        {
+            "k": keys,
+            "t": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "eid": np.arange(n, dtype=np.int64),
+        }
+    )
+    rt = pd.DataFrame(
+        {
+            "k": np.where(rng.random(rn) < 0.95, 0, rng.integers(1, 5, rn)).astype(np.int64),
+            "rt": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, rn), unit="s"),
+            "v": rng.integers(0, 10**6, rn).astype(np.int64),
+        }
+    ).drop_duplicates(["k", "rt"])
+
+    kw = dict(key="k", left_time="t", right_time="rt", value_cols=["v"], n_shards=4)
+    bucketed = asof_join(
+        rd.from_pandas(lt).repartition(8), rd.from_pandas(rt).repartition(8),
+        time_buckets=B, **kw,
+    ).to_pandas()
+    plain = asof_join(
+        rd.from_pandas(lt).repartition(8), rd.from_pandas(rt).repartition(8), **kw
+    ).to_pandas()
+
+    cols = ["k", "t", "eid", "v"]
+    def norm(df):
+        return df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(bucketed), norm(plain))
+
+    oracle = pd.merge_asof(
+        lt.sort_values("t", kind="mergesort"),
+        rt.sort_values("rt", kind="mergesort"),
+        left_on="t", right_on="rt", by="k", direction="backward",
+    ).dropna(subset=["v"])
+    oracle["v"] = oracle["v"].astype("int64")
+    pd.testing.assert_frame_equal(norm(bucketed), norm(oracle))
+
+    # per-group row cap: the monster key's mass divides across buckets
+    from bbcrawl_ray.pipelines.relops import _bucket_of, shard_of
+
+    t0 = float(min(lt["t"].min().value, rt["rt"].min().value))
+    t1 = float(max(lt["t"].max().value, rt["rt"].max().value))
+    span = t1 - t0
+    g_l = shard_of(lt["k"], 4).to_numpy() * B + _bucket_of(lt["t"], t0, span, B)
+    g_r = shard_of(rt["k"], 4).to_numpy() * B + _bucket_of(rt["rt"], t0, span, B)
+    group_sizes = pd.Series(np.concatenate([g_l, g_r])).value_counts()
+    hot = int((keys == 0).sum())
+    assert group_sizes.max() <= hot // B + 6 * ((n + rn) // (4 * B))
+
+
+def test_sessionize_time_buckets_seam_merge(ray_session):
+    """Bucketed sessionize must stitch sessions across bucket seams:
+    a crafted stream whose sessions straddle bucket boundaries (and one
+    session spanning several buckets) comes out bit-identical to the
+    unbucketed path and to a pandas oracle; the monster key's level-1
+    groups stay bounded by bucket."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bbcrawl_ray.pipelines.relops import sessionize
+
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    # user 0 (monster): a dense run spanning many hours (ONE session
+    # across every bucket seam), then sparse isolated events
+    t = base
+    for _ in range(3_000):
+        t += pd.Timedelta(minutes=int(rng.integers(1, 29)))
+        rows.append((0, t))
+    for i in range(50):
+        rows.append((0, t + pd.Timedelta(hours=2 + 3 * i)))
+    # users 1..4: sessions placed randomly
+    for u in range(1, 5):
+        t = base + pd.Timedelta(minutes=int(rng.integers(0, 600)))
+        for _ in range(200):
+            t += pd.Timedelta(minutes=int(rng.integers(1, 120)))
+            rows.append((u, t))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["user_id"] = df["user_id"].astype("int64")
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    gap = pd.Timedelta(minutes=30)
+
+    def run(buckets):
+        return (
+            sessionize(
+                rd.from_pandas(df.sample(frac=1.0, random_state=1)).repartition(6),
+                "user_id", "ts", gap, n_shards=4, time_buckets=buckets,
+            )
+            .to_pandas()
+            .sort_values(["user_id", "session_id"])
+            .reset_index(drop=True)
+        )
+
+    bucketed, plain = run(12), run(1)
+    pd.testing.assert_frame_equal(bucketed, plain)
+
+    # pandas oracle
+    s = df.sort_values(["user_id", "ts"], kind="mergesort")
+    brk = s.groupby("user_id")["ts"].diff() > gap
+    s = s.assign(session_id=brk.groupby(s["user_id"]).cumsum().astype("int64") + 1)
+    oracle = (
+        s.groupby(["user_id", "session_id"])
+        .agg(n_events=("ts", "size"), session_start=("ts", "min"))
+        .reset_index()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    oracle["n_events"] = oracle["n_events"].astype("int64")
+    oracle["session_start"] = oracle["session_start"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(bucketed, oracle)
+
+
+def test_download_streams_body_in_chunks(ray_session, tmp_path):
+    """Round-3 verdict missing #1: downloads stream wire → file in
+    bounded chunks (reference io.Copy, downloader.go:308) — a loopback
+    body much larger than chunk_bytes arrives intact while no single
+    read exceeds the chunk size; manifest row unchanged in shape."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    import pyarrow as pa
+
+    from bbcrawl_ray.stages.download import Downloader
+    from bbcrawl_ray.stages.fetch import FetchConfig
+
+    body = bytes(range(256)) * 8192  # 2 MiB, deterministic pattern
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # noqa: D102 — quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        chunk = 64 * 1024
+        d = Downloader(
+            FetchConfig(transport="http"), str(tmp_path), chunk_bytes=chunk
+        )
+
+        read_sizes: list[int] = []
+        inner = d.fetcher.transport
+
+        class RecordingReader:
+            def __init__(self, r):
+                self._r = r
+
+            def read(self, n=-1):
+                data = self._r.read(n)
+                read_sizes.append(len(data))
+                return data
+
+            def close(self):
+                self._r.close()
+
+        class RecordingTransport:
+            def get(self, url, headers=None):
+                return inner.get(url, headers=headers)
+
+            def get_stream(self, url, headers=None):
+                meta, reader = inner.get_stream(url, headers=headers)
+                return meta, RecordingReader(reader)
+
+        d.fetcher.transport = RecordingTransport()
+
+        batch = pa.table(
+            {
+                "media_ref": [f"http://127.0.0.1:{port}/big.bin"],
+                "out_name": ["big.bin"],
+                "out_dir": [""],
+                "status": ["pending"],
+                "error": [""],
+                "bytes": [0],
+                "post_id": [""],
+                "att_ordinal": [0],
+                "header_filename": [""],
+            }
+        )
+        row = d(batch).to_pylist()[0]
+        assert row["status"] == "ok"
+        assert row["bytes"] == len(body)
+        assert (tmp_path / "big.bin").read_bytes() == body
+        # bounded buffering: many small reads, never a whole-body read
+        assert max(read_sizes) <= chunk
+        assert len([s for s in read_sizes if s]) >= len(body) // chunk
+    finally:
+        srv.shutdown()
+        srv.server_close()

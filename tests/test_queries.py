@@ -126,3 +126,140 @@ def test_auto_join_empty_right(ray_session):
     )
     out = R.auto_join(left, right, left_on="a", right_on="b").to_pandas()
     assert len(out) == 0
+
+
+def test_auto_semi_join_paths_agree(ray_session, sf_dir):
+    """auto_semi_join's broadcast is_in filter and hash left_semi /
+    left_anti transports produce identical rows when the right side is
+    forced over the byte gate (the gate only picks transport, never
+    semantics) — the round-3 verdict's ungated-key-set class."""
+    import pandas as pd
+
+    from bbcrawl_ray.pipelines import relops as R
+
+    import pyarrow.compute as pc
+
+    cust = R.read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    # filtered so BOTH the semi and the anti result are non-empty
+    orders = R.read_table(
+        sf_dir, "orders", columns=["o_custkey"],
+        filter_expr=(pc.field("o_totalprice") > 300000.0),
+    )
+
+    def norm(ds):
+        df = R.to_pandas_schema_safe(ds)[["c_custkey"]].astype("int64")
+        return df.sort_values("c_custkey").reset_index(drop=True)
+
+    for anti in (False, True):
+        broadcast = norm(
+            R.auto_semi_join(cust, orders, on="c_custkey", right_on="o_custkey", anti=anti)
+        )
+        hashed = norm(
+            R.auto_semi_join(
+                cust, orders, on="c_custkey", right_on="o_custkey", anti=anti,
+                broadcast_bytes=0,
+            )
+        )
+        assert len(broadcast) > 0
+        pd.testing.assert_frame_equal(broadcast, hashed)
+
+
+def test_grouped_topk_matches_pandas(ray_session, sf_dir):
+    """grouped_topk (per-block per-group prune + grouped head) equals the
+    single-frame pandas reference, ties and all."""
+    import pandas as pd
+
+    from bbcrawl_ray.pipelines import relops as R
+
+    orders = R.read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"]
+    )
+    got = (
+        R.grouped_topk(
+            orders,
+            ["o_orderpriority"],
+            by=["o_totalprice", "o_orderkey"],
+            descending=[True, False],
+            k=4,
+            out_cols=["o_orderpriority", "o_orderkey", "o_totalprice"],
+        )
+        .to_pandas()
+        .sort_values(["o_orderpriority", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        orders.to_pandas()
+        .sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort")
+        .groupby("o_orderpriority", sort=False)
+        .head(4)[["o_orderpriority", "o_orderkey", "o_totalprice"]]
+        .sort_values(["o_orderpriority", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_doc_token_freq_join_path_parity(ray_session, sf_dir):
+    """Forcing the vocab over the byte gate (vocab_broadcast_bytes=0)
+    routes doc_token_freq through the hash-join path and must reproduce
+    the broadcast path exactly — zero-token docs included."""
+    import pandas as pd
+
+    from bbcrawl_ray.pipelines.queries_text import q_doc_token_freq
+
+    def norm(ds):
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    broadcast = norm(q_doc_token_freq(sf_dir))
+    joined = norm(q_doc_token_freq(sf_dir, vocab_broadcast_bytes=0))
+    assert len(broadcast) > 0
+    pd.testing.assert_frame_equal(broadcast, joined)
+
+
+def test_weighted_sample_rejects_nonpositive_weights(ray_session):
+    """ADVICE: zero/negative weights silently corrupt the sample — the
+    stage must refuse."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from bbcrawl_ray.stages.sampling import weighted_sample
+
+    ds = rd.from_pandas(pd.DataFrame({"k": ["a", "b", "c"], "w": [1.0, 0.0, 2.0]}))
+    # the ValueError raises inside a Ray task, so it surfaces wrapped
+    # (RayTaskError / UserCodeException) — match the message, not the type
+    with pytest.raises(Exception, match="strictly positive"):
+        weighted_sample(ds, "k", "w", 2).to_pandas()
+
+
+def test_ngram_jaccard_rejects_impossible_threshold(ray_session):
+    """ADVICE: threshold_num > threshold_den breaks the collapse parity
+    contract — must raise, not silently diverge."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from bbcrawl_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "a b c d"]})
+    )
+    with pytest.raises(ValueError, match="threshold_num"):
+        ngram_jaccard_pairs(ds, threshold_num=3, threshold_den=2)
+
+
+def test_source_mix_empty_corpus_token_share_nan(ray_session, tmp_path):
+    """ADVICE: an all-empty-text corpus yields NaN token_share (the SQL
+    oracle's NULL), never inf."""
+    import numpy as np
+    import pandas as pd
+
+    from bbcrawl_ray.pipelines.queries_text import q_source_mix
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["", ""], "source": ["a", "b"]}
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = q_source_mix(str(tmp_path))
+    assert len(out) == 2
+    assert out["sum_tokens"].tolist() == [0, 0]
+    assert np.isnan(out["token_share"]).all()
