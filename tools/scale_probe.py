@@ -9,13 +9,29 @@ tier and distributed label-propagation CC run — the paths a web-scale
 dup rate exercises. Prints one JSON line with wall times + result
 sanity (every 10-clone set must land in one cluster).
 
-Usage: python tools/scale_probe.py  [RAY_GRAFT_CPUS=32]
+Usage: python tools/scale_probe.py [--out PROBE_rN.json]  [RAY_GRAFT_CPUS=32]
+
+With ``--out`` the JSON line is ALSO written to the given file — the
+machine-readable cross-round artifact (op, corpus, wall seconds,
+row counts and an order-insensitive output hash per op), so dedup-at-
+dup-rate comparisons stop depending on BASELINE.md prose.
 """
 
+import hashlib
 import json
 import os
 import sys
 import time
+
+
+def table_hash(df) -> str:
+    """Order-insensitive sha256 of a small result frame: columns sorted
+    by name, rows sorted by value, values stringified."""
+    d = df[sorted(df.columns)]
+    if len(d):
+        d = d.sort_values(list(d.columns), kind="mergesort")
+    payload = d.to_csv(index=False).encode()
+    return hashlib.sha256(payload).hexdigest()[:16]
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -53,12 +69,14 @@ def main() -> None:
     exact = D.exact_dedup(ds, key="text").to_pandas()
     out["exact_s"] = round(time.perf_counter() - t0, 2)
     out["exact_groups"] = len(exact)
+    out["exact_hash"] = table_hash(exact)
     assert (exact["dup_count"] >= 10).all(), "every text has 10 clones"
 
     t0 = time.perf_counter()
     clusters = D.minhash_dedup(ds, threshold=0.5).to_pandas()
     out["minhash_gated_s"] = round(time.perf_counter() - t0, 2)
     out["minhash_rows"] = len(clusters)
+    out["minhash_hash"] = table_hash(clusters)
     # sanity: the 10 clones of any base doc share a cluster
     cl = clusters.set_index("doc_id")["cluster_id"]
     probe_ids = base["doc_id"].iloc[:50]
@@ -72,17 +90,21 @@ def main() -> None:
         ds, threshold=0.5, broadcast_gates=False, cc_driver_gate=None
     ).to_pandas()
     out["minhash_distributed_s"] = round(time.perf_counter() - t0, 2)
+    out["minhash_distributed_hash"] = table_hash(dist)
     assert len(dist) == len(clusters), "gated vs distributed row-count parity"
+    assert out["minhash_distributed_hash"] == out["minhash_hash"], "bit-identical outputs"
 
     t0 = time.perf_counter()
     sh = D.simhash_near_dup(ds, max_hamming=10).to_pandas()
     out["simhash_s"] = round(time.perf_counter() - t0, 2)
     out["simhash_pairs"] = len(sh)
+    out["simhash_hash"] = table_hash(sh)
 
     t0 = time.perf_counter()
     ng = D.ngram_jaccard_pairs(ds, n=3, threshold_num=1, threshold_den=2).to_pandas()
     out["ngram_s"] = round(time.perf_counter() - t0, 2)
     out["ngram_pairs"] = len(ng)
+    out["ngram_hash"] = table_hash(ng)
 
     # as-of stress at 10x the bench event volume: exercises the
     # data-sized shard derivation (round-2 verdict #2) well past the
@@ -112,7 +134,14 @@ def main() -> None:
     out["asof_10x_rows"] = asof.count()
     out["asof_10x_s"] = round(time.perf_counter() - t0, 2)
 
-    print(json.dumps(out))
+    out["corpus"] = f"{sf} documents x10 clones"
+    out["num_cpus"] = int(ray.cluster_resources().get("CPU", 0))
+    line = json.dumps(out)
+    print(line)
+    if "--out" in sys.argv:
+        path = sys.argv[sys.argv.index("--out") + 1]
+        with open(path, "w") as f:
+            f.write(line + "\n")
     ray.shutdown()
 
 
