@@ -810,6 +810,199 @@ def sessionize(
     )
 
 
+def _window_prep(
+    ds: Dataset, key: str, ts: str, n_shards: int | None, time_buckets: int
+):
+    """Shared sizing for the windowed operators: materialize (count and
+    min/max would re-execute lineage), derive shards from data, derive
+    the time-bucket axis. Returns (ds, n_shards, time_buckets, t0, span)."""
+    if n_shards is None or time_buckets > 1:
+        ds = ds.materialize()
+        if n_shards is None:
+            n_shards = data_sized_shards(ds.count())
+    time_buckets = max(1, int(time_buckets))
+    t0 = span = 0.0
+    if time_buckets > 1:
+        agg = ds.aggregate(Min(ts), Max(ts))
+        t0, t1 = _time_num(agg[f"min({ts})"]), _time_num(agg[f"max({ts})"])
+        span = t1 - t0
+        if span <= 0:
+            time_buckets = 1
+    return ds, n_shards, time_buckets, t0, span
+
+
+def windowed_lag(
+    ds: Dataset,
+    key: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "value_delta",
+    keep_cols: Sequence[str] | None = None,
+    n_shards: int | None = None,
+    time_buckets: int = 1,
+) -> Dataset:
+    """Per-key LAG delta window: each row's ``value_col`` minus the
+    previous row's (ordered by ``order_cols`` within ``key``); rows with
+    no predecessor drop (the SQL inner-lag shape). One key-shard shuffle
+    by default. ``time_buckets`` > 1 splits a monster key by time range
+    (first ``order_cols`` entry is the time axis): each (key, bucket)'s
+    LAST row — lag needs exactly one predecessor — is carried to the
+    key's NEXT OCCUPIED bucket, so bucket-first rows still see their
+    true predecessor. Output identical across bucket settings."""
+    order_cols = list(order_cols)
+    ts = order_cols[0]
+    keep_cols = list(keep_cols) if keep_cols is not None else []
+    ds, n_shards, time_buckets, t0, span = _window_prep(
+        ds, key, ts, n_shards, time_buckets
+    )
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        base = shard_of(df[key], n_shards)
+        if time_buckets > 1:
+            return df.assign(
+                _shard=base.to_numpy() * time_buckets
+                + _bucket_of(df[ts], t0, span, time_buckets),
+                _carry=False,
+            )
+        return df.assign(_shard=base, _carry=False)
+
+    sharded = ds.map_batches(add_shard, batch_format="pandas")
+
+    def delta_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols, "_carry"], kind="mergesort")
+        g = g.assign(**{out_col: g.groupby(key, sort=False)[value_col].diff()})
+        out = g[~g["_carry"]].dropna(subset=[out_col])
+        return out[[key, *keep_cols, out_col]]
+
+    if time_buckets == 1:
+        return sharded.groupby("_shard").map_groups(delta_group, batch_format="pandas")
+
+    sharded = sharded.materialize()  # union + carry pass both consume it
+
+    def last_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "_shard", *order_cols], kind="mergesort")
+        df = df.drop_duplicates([key, "_shard"], keep="last")
+        return df.assign(_kshard=(df["_shard"] // time_buckets).astype("int64"))
+
+    def to_next_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [c for c in g.columns if c != "_kshard"]
+        g = g.sort_values([key, "_shard", *order_cols], kind="mergesort")
+        g = g.drop_duplicates([key, "_shard"], keep="last")
+        if len(g) < 2:
+            return g[cols].iloc[0:0]
+        k = g[key].to_numpy()
+        keep = k[:-1] == k[1:]  # non-last row of its key
+        out = g.iloc[:-1][keep].copy()
+        out["_shard"] = g["_shard"].to_numpy()[1:][keep]  # next OCCUPIED bucket
+        out["_carry"] = True
+        return out[cols]
+
+    carries = (
+        sharded.map_batches(last_per_bucket, batch_format="pandas")
+        .groupby("_kshard")
+        .map_groups(to_next_bucket, batch_format="pandas")
+    )
+    return (
+        sharded.union(carries)
+        .groupby("_shard")
+        .map_groups(delta_group, batch_format="pandas")
+    )
+
+
+def windowed_running_sum(
+    ds: Dataset,
+    key: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "running",
+    keep_cols: Sequence[str] | None = None,
+    n_shards: int | None = None,
+    time_buckets: int = 1,
+    offsets_broadcast_bytes: int = 64 << 20,
+) -> Dataset:
+    """Per-key RUNNING SUM window (rows unbounded preceding → current,
+    ordered by ``order_cols``). One key-shard shuffle by default.
+    ``time_buckets`` > 1 splits a monster key by time range using the
+    ASSOCIATIVITY of sums: each (key, bucket) cumsums locally and emits
+    its bucket TOTAL; a tiny per-key pass turns totals into exclusive
+    prefix OFFSETS per bucket; offsets join back (byte-gated broadcast
+    merge under the gate, engine multi-key hash join above) and add.
+    Output identical across bucket settings."""
+    order_cols = list(order_cols)
+    ts = order_cols[0]
+    keep_cols = list(keep_cols) if keep_cols is not None else []
+    ds, n_shards, time_buckets, t0, span = _window_prep(
+        ds, key, ts, n_shards, time_buckets
+    )
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        base = shard_of(df[key], n_shards)
+        if time_buckets > 1:
+            return df.assign(
+                _shard=base.to_numpy() * time_buckets
+                + _bucket_of(df[ts], t0, span, time_buckets)
+            )
+        return df.assign(_shard=base)
+
+    sharded = ds.map_batches(add_shard, batch_format="pandas")
+    if time_buckets > 1:
+        sharded = sharded.materialize()  # cumsum pass + totals pass
+
+    def local_cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols], kind="mergesort")
+        g = g.assign(**{out_col: g.groupby(key, sort=False)[value_col].cumsum()})
+        return g[[key, *keep_cols, out_col, "_shard"]]
+
+    partial = sharded.groupby("_shard").map_groups(local_cumsum, batch_format="pandas")
+    if time_buckets == 1:
+        return partial.map_batches(
+            lambda df: df.drop(columns=["_shard"]), batch_format="pandas"
+        )
+
+    # bucket totals are ORDER-FREE sums of the raw values (never a
+    # max of the cumsum, which breaks on negative values): per-batch
+    # combiner, then a per-key exclusive prefix over buckets
+    def bucket_totals(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.groupby([key, "_shard"], sort=False)[value_col].sum().reset_index()
+        t = t.rename(columns={value_col: "_total"})
+        return t.assign(_kshard=(t["_shard"] // time_buckets).astype("int64"))
+
+    def to_offsets(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.groupby([key, "_shard"], sort=False)["_total"].sum().reset_index()
+        ).sort_values([key, "_shard"], kind="mergesort")
+        excl = g.groupby(key, sort=False)["_total"].cumsum() - g["_total"]
+        return g.assign(_offset=excl)[[key, "_shard", "_offset"]]
+
+    offsets = (
+        sharded.map_batches(bucket_totals, batch_format="pandas")
+        .groupby("_kshard")
+        .map_groups(to_offsets, batch_format="pandas")
+    ).materialize()
+
+    out_cols = [key, *keep_cols, out_col]
+    if (offsets.size_bytes() or 0) <= offsets_broadcast_bytes:
+        off_df = to_pandas_schema_safe(offsets)
+        ref = ray.put(off_df)
+
+        def add_offset(df: pd.DataFrame) -> pd.DataFrame:
+            # every (key, bucket) in the stream exists in offsets by
+            # construction — the inner merge is total, dtypes survive
+            m = df.merge(ray.get(ref), on=[key, "_shard"], how="inner")
+            m[out_col] = m[out_col] + m["_offset"]
+            return m[out_cols]
+
+        return partial.map_batches(add_offset, batch_format="pandas")
+
+    joined = hash_join(partial, offsets, on=(key, "_shard"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df[out_col] = df[out_col] + df["_offset"]
+        return df[out_cols]
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def cast_columns(ds: Dataset, types: dict[str, pa.DataType]) -> Dataset:
     """Final-stage dtype normalization (e.g. Ray's aggregate shuffle can
     downgrade timestamp[us] to timestamp[s]; the driver's value-hash is

@@ -722,3 +722,62 @@ def test_download_streams_body_in_chunks(ray_session, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_windowed_lag_and_running_sum_monster_key(ray_session):
+    """Round-3 verdict #3 (window family): windowed_lag and
+    windowed_running_sum split a single monster key by time bucket —
+    bucketed output is bit-identical to the unbucketed path and to a
+    pandas oracle, negative values included (running totals must sum
+    raw values, never max a cumsum)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bbcrawl_ray.pipelines.relops import windowed_lag, windowed_running_sum
+
+    rng = np.random.default_rng(13)
+    n = 30_000
+    keys = np.where(rng.random(n) < 0.9, 0, rng.integers(1, 6, n)).astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "k": keys,
+            "ts": pd.Timestamp("2024-05-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "eid": np.arange(n, dtype=np.int64),
+            "v": rng.integers(-500, 500, n).astype(np.int64),  # negatives!
+        }
+    )
+    ds = lambda: rd.from_pandas(df.sample(frac=1.0, random_state=2)).repartition(6)  # noqa: E731
+
+    kw = dict(
+        key="k", order_cols=["ts", "eid"], value_col="v", keep_cols=["eid"], n_shards=4
+    )
+
+    def norm(d, cols):
+        out = d.to_pandas()[cols].sort_values(cols, kind="mergesort")
+        return out.reset_index(drop=True)
+
+    # --- lag
+    lag_cols = ["k", "eid", "value_delta"]
+    lag_b = norm(windowed_lag(ds(), time_buckets=12, out_col="value_delta", **kw), lag_cols)
+    lag_p = norm(windowed_lag(ds(), time_buckets=1, out_col="value_delta", **kw), lag_cols)
+    pd.testing.assert_frame_equal(lag_b, lag_p)
+    s = df.sort_values(["k", "ts", "eid"], kind="mergesort")
+    o = s.assign(value_delta=s.groupby("k")["v"].diff()).dropna(subset=["value_delta"])
+    o["value_delta"] = o["value_delta"].astype("int64")
+    lag_b["value_delta"] = lag_b["value_delta"].astype("int64")
+    pd.testing.assert_frame_equal(
+        lag_b, o[lag_cols].sort_values(lag_cols, kind="mergesort").reset_index(drop=True)
+    )
+
+    # --- running sum
+    run_cols = ["k", "eid", "running"]
+    run_b = norm(windowed_running_sum(ds(), time_buckets=12, out_col="running", **kw), run_cols)
+    run_p = norm(windowed_running_sum(ds(), time_buckets=1, out_col="running", **kw), run_cols)
+    pd.testing.assert_frame_equal(run_b, run_p)
+    o2 = s.assign(running=s.groupby("k")["v"].cumsum())
+    pd.testing.assert_frame_equal(
+        run_b,
+        o2[run_cols].sort_values(run_cols, kind="mergesort").reset_index(drop=True),
+    )
