@@ -88,6 +88,13 @@ class CrawlConfig:
     metrics_level: str = "full"  # full | lite (bench: skip per-status/per-seed aggregates)
     fetch_mode: str = "auto"  # auto | actors | tasks (see FetchParse docstring)
     cookies: dict = field(default_factory=dict)  # {host: {name: value}} broadcast to fetchers
+    # frontier read fan-out: blocks = max(8, ncpu * frontier_blocks_per_cpu).
+    # More blocks = finer scheduling + smaller write files; fewer = less
+    # per-task overhead. Two round-4 interleaved A/Bs at 16 CPUs: 4 and
+    # 8 statistically indistinguishable, 16 slightly worse — the knob
+    # sits on the same plateau as batch/pool size (BASELINE.md r3/r4
+    # nulls); exposed so cluster-sized runs can tune it anyway.
+    frontier_blocks_per_cpu: int = 8
 
 
 def parquet_row_count(d: str) -> int:
@@ -347,7 +354,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> CrawlResult:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         selected = read_parquet_dirs(
             [f"{frontier_dir}/selected=true"], FRONTIER_SHARD
-        ).repartition(max(8, ncpu * 8))
+        ).repartition(max(8, ncpu * cfg.frontier_blocks_per_cpu))
         new_rows = selected.map_batches(SeenFilter(seen), batch_format="pyarrow")
         stateful_fetch = (
             cfg.min_host_delay_s > 0
