@@ -317,8 +317,12 @@ def scaling() -> None:
             # 16×20000 = 320k pages: long enough that the per-epoch fixed
             # overhead (~2-3 s of planning/writes) stops polluting the
             # high-parallelism level (at 160k pages the 16-CPU run took
-            # <10 s and read as 0.77 efficiency; 0.89 at 320k)
-            BBRAY_BENCH_PAGES_PER_HOST="20000",
+            # <10 s and read as 0.77 efficiency; 0.89 at 320k). An outer
+            # BBRAY_BENCH_PAGES_PER_HOST overrides — longer legs
+            # integrate over the documented co-tenant steal bursts.
+            BBRAY_BENCH_PAGES_PER_HOST=os.environ.get(
+                "BBRAY_BENCH_PAGES_PER_HOST", "20000"
+            ),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
