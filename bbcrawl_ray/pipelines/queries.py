@@ -844,7 +844,11 @@ def q_segment_top_priority(sf_dir: str) -> Dataset:
 def q_brand_price_rank(sf_dir: str) -> Dataset:
     """RANK-with-ties window (distinct from row_number top-k: tied prices
     share a rank, so a brand can emit >2 rows): rank <= 2 within brand
-    by price — brand-sharded shuffle, vectorized per-shard rank."""
+    by price — the ``R.grouped_rank_topk`` operator: a combiner-reduced
+    distinct-top-k pass computes each brand's (value, rank) mapping and
+    joins it back through the byte-gated transport, so no brand's row
+    set is ever co-located (monster-key safe by construction; round-3
+    verdict #3's last window case)."""
     part = R.read_table(sf_dir, "part", columns=["p_brand", "p_partkey", "p_retailprice"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -857,27 +861,7 @@ def q_brand_price_rank(sf_dir: str) -> Dataset:
         )
 
     ds = part.map_batches(prep, batch_format="pyarrow")
-    # count the BARE read (metadata-served), not the derived lineage —
-    # prep is 1:1, and counting after the map would execute the whole
-    # read+prep a second time just to size the shards
-    n_shards = R.data_sized_shards(part.count())
-
-    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(_shard=R.shard_of(df["p_brand"], n_shards))
-
-    def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.assign(
-            price_rank=g.groupby("p_brand", sort=False)["price_cents"]
-            .rank(method="min", ascending=False)
-            .astype("int64")
-        )
-        return g[g["price_rank"] <= 2][["p_brand", "p_partkey", "price_cents", "price_rank"]]
-
-    return (
-        ds.map_batches(add_shard, batch_format="pandas")
-        .groupby("_shard")
-        .map_groups(rank_shard, batch_format="pandas")
-    )
+    return R.grouped_rank_topk(ds, "p_brand", "price_cents", 2, rank_col="price_rank")
 
 
 # ---------------------------------------------------------------------------

@@ -1003,6 +1003,93 @@ def windowed_running_sum(
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def compact_blocks(ds: Dataset) -> Dataset:
+    """Materialize and drop schema-less EMPTY blocks.
+
+    Ray's hash-shuffle operators (groupby/join/map_groups) emit
+    zero-column empty blocks for empty partitions; feeding those into a
+    ``Dataset.join`` fails with "No match for key field reference". Row
+    blocks stay in the object store (refs are reused, nothing lands on
+    the driver)."""
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def _nrows(t) -> int:
+        # blocks can be Arrow tables OR pandas frames (map_groups output)
+        return t.num_rows if hasattr(t, "num_rows") else len(t)
+
+    keep = [r for r, n in zip(refs, ray.get([_nrows.remote(r) for r in refs])) if n > 0]
+    if not keep:
+        return mat
+    return rd.from_arrow_refs(keep)
+
+
+def grouped_rank_topk(
+    ds: Dataset,
+    group: str,
+    value_col: str,
+    k: int,
+    rank_col: str = "rank",
+    mapping_broadcast_bytes: int = 64 << 20,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """RANK() <= k within each group, descending by ``value_col``, ties
+    share a rank (SQL RANK semantics — a group can emit more than k
+    rows). Monster-key safe BY CONSTRUCTION: no group's row set is ever
+    co-located. Two passes:
+
+    1. candidate reduction — per block, the k highest DISTINCT values
+       per group with their row counts (any global top-k distinct value
+       is a local top-k distinct value in every block it appears in);
+       one grouped pass over that combiner stream computes each group's
+       exact top-k distinct values, their global counts, and therefore
+       their RANKS (rank of value v = 1 + rows strictly above v);
+    2. the (group, value, rank) mapping — k rows per group — joins back
+       onto the stream: byte-gated broadcast merge under the gate, the
+       engine's multi-key hash join above it. Rows whose value misses
+       the mapping drop (rank > k).
+    """
+
+    def local_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            df.groupby([group, value_col], sort=False)
+            .size()
+            .rename("_n")
+            .reset_index()
+        )
+        c = c.sort_values([group, value_col], ascending=[True, False], kind="mergesort")
+        return c.groupby(group, sort=False).head(k)
+
+    def to_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.groupby([group, value_col], sort=False)["_n"].sum().reset_index()
+        ).sort_values([group, value_col], ascending=[True, False], kind="mergesort")
+        g = g.groupby(group, sort=False).head(k)
+        above = g.groupby(group, sort=False)["_n"].cumsum() - g["_n"]
+        g[rank_col] = (above + 1).astype("int64")
+        return g[g[rank_col] <= k][[group, value_col, rank_col]]
+
+    cands = ds.map_batches(local_candidates, batch_format="pandas")
+    # compact: map_groups emits schema-less empty blocks (partitions >
+    # groups) that crash the engine join's Acero key resolution
+    mapping = compact_blocks(
+        cands.groupby(group).map_groups(to_ranks, batch_format="pandas")
+    )
+
+    if (mapping.size_bytes() or 0) <= mapping_broadcast_bytes:
+        mdf = to_pandas_schema_safe(mapping)
+        ref = ray.put(mdf)
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(ray.get(ref), on=[group, value_col], how="inner")
+
+        return ds.map_batches(attach, batch_format="pandas")
+    return hash_join(
+        ds, mapping, on=(group, value_col), num_partitions=num_partitions
+    )
+
+
 def cast_columns(ds: Dataset, types: dict[str, pa.DataType]) -> Dataset:
     """Final-stage dtype normalization (e.g. Ray's aggregate shuffle can
     downgrade timestamp[us] to timestamp[s]; the driver's value-hash is

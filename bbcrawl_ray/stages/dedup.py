@@ -377,27 +377,11 @@ def _join_partitions(requested: int | None = None, rows: int | None = None) -> i
 
 
 def _compact_blocks(ds: Dataset) -> Dataset:
-    """Materialize and drop schema-less EMPTY blocks.
+    """Materialize and drop schema-less EMPTY blocks (shared impl in
+    relops.compact_blocks — see its docstring)."""
+    from ..pipelines.relops import compact_blocks
 
-    Ray's hash-shuffle operators (groupby/join) emit zero-column empty
-    blocks for empty partitions; feeding those into a ``Dataset.join``
-    fails with "No match for key field reference". Row blocks stay in
-    the object store (refs are reused, nothing lands on the driver)."""
-    import ray
-    import ray.data as rd
-
-    mat = ds.materialize()
-    refs = mat.to_arrow_refs()
-
-    @ray.remote(num_cpus=0)
-    def _nrows(t) -> int:
-        # blocks can be Arrow tables OR pandas frames (map_groups output)
-        return t.num_rows if hasattr(t, "num_rows") else len(t)
-
-    keep = [r for r, n in zip(refs, ray.get([_nrows.remote(r) for r in refs])) if n > 0]
-    if not keep:
-        return mat
-    return rd.from_arrow_refs(keep)
+    return compact_blocks(ds)
 
 
 def _rename(ds: Dataset, mapping: dict[str, str], keep: list[str]) -> Dataset:

@@ -781,3 +781,49 @@ def test_windowed_lag_and_running_sum_monster_key(ray_session):
         run_b,
         o2[run_cols].sort_values(run_cols, kind="mergesort").reset_index(drop=True),
     )
+
+
+def test_grouped_rank_topk_monster_key_and_ties(ray_session):
+    """grouped_rank_topk: RANK<=k with ties, monster-key safe — one
+    group holds ~all rows with heavy value ties; output equals the
+    pandas rank oracle on both the broadcast and the forced hash-join
+    mapping transport."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bbcrawl_ray.pipelines.relops import grouped_rank_topk
+
+    rng = np.random.default_rng(17)
+    n = 25_000
+    g = np.where(rng.random(n) < 0.92, "HOT", rng.choice(["a", "b", "c"], n))
+    df = pd.DataFrame(
+        {
+            "g": g,
+            "rid": np.arange(n, dtype=np.int64),
+            # tiny value domain → heavy ties; ties at the k-th rank
+            # must ALL surface (SQL RANK), not be cut at k rows
+            "v": rng.integers(0, 40, n).astype(np.int64),
+        }
+    )
+    ds = lambda: rd.from_pandas(df.sample(frac=1.0, random_state=3)).repartition(8)  # noqa: E731
+
+    oracle = df.assign(
+        rank=df.groupby("g")["v"].rank(method="min", ascending=False).astype("int64")
+    )
+    oracle = oracle[oracle["rank"] <= 2]
+
+    cols = ["g", "rid", "v", "rank"]
+
+    def norm(d):
+        out = d.to_pandas()[cols].sort_values(cols, kind="mergesort")
+        return out.reset_index(drop=True)
+
+    broadcast = norm(grouped_rank_topk(ds(), "g", "v", 2, rank_col="rank"))
+    hashed = norm(
+        grouped_rank_topk(ds(), "g", "v", 2, rank_col="rank", mapping_broadcast_bytes=0)
+    )
+    expect = oracle[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    assert len(expect) > 2 * 4  # ties actually expanded beyond k rows/group
+    pd.testing.assert_frame_equal(broadcast, expect)
+    pd.testing.assert_frame_equal(hashed, expect)
