@@ -239,6 +239,14 @@ def auto_join(
         return broadcast_join(
             left, to_pandas_schema_safe(right), left_on=left_on, right_on=right_on
         )
+    if num_partitions is None:
+        # grow the fan-out with the MEASURED right side above the
+        # cluster-sized floor: each aggregator holds one partition pair
+        # in memory, so a fixed cap becomes an OOM cliff at 100× the
+        # data — while each partition also costs ~0.1 s of fixed
+        # aggregator overhead (interleaved A/B at 32 CPUs, BASELINE.md
+        # round 4), so small joins must not over-partition either.
+        num_partitions = max(join_partitions(None), -(-nbytes // (256 << 20)))
     return hash_join(
         left, right, on=left_on, right_on=right_on, num_partitions=num_partitions
     )
