@@ -439,12 +439,25 @@ def data_sized_shards(
 def _time_num(x) -> float:
     """Scalar time → float64 ns-epoch (datetime-likes) or plain float —
     the engine's Min/Max aggregate returns pandas Timestamp, numpy
-    datetime64 or stdlib datetime depending on the block format."""
+    datetime64 or stdlib datetime depending on the block format; None
+    (empty input) maps to 0 so span computes to <= 0 and bucketing
+    degrades to the single-bucket path."""
     import datetime as _dt
 
+    if x is None:
+        return 0.0
     if isinstance(x, (np.datetime64, _dt.datetime)) or hasattr(x, "value"):
         return float(pd.Timestamp(x).value)
     return float(x)
+
+
+def _agg_minmax(ds: Dataset, col: str) -> tuple[float, float]:
+    """(min, max) of one column as floats; (0, 0) on empty input (Ray's
+    aggregate returns None/empty there)."""
+    agg = ds.aggregate(Min(col), Max(col))
+    if not agg:
+        return 0.0, 0.0
+    return _time_num(agg.get(f"min({col})")), _time_num(agg.get(f"max({col})"))
 
 
 def _time_axis_bounds(
@@ -452,11 +465,9 @@ def _time_axis_bounds(
 ) -> tuple[float, float]:
     """(min, max) over BOTH sides' time axes as float64 ns-epoch.
     Two tiny engine aggregates."""
-    la = left.aggregate(Min(left_time), Max(left_time))
-    ra = right.aggregate(Min(right_time), Max(right_time))
-    lo = min(_time_num(la[f"min({left_time})"]), _time_num(ra[f"min({right_time})"]))
-    hi = max(_time_num(la[f"max({left_time})"]), _time_num(ra[f"max({right_time})"]))
-    return lo, hi
+    llo, lhi = _agg_minmax(left, left_time)
+    rlo, rhi = _agg_minmax(right, right_time)
+    return min(llo, rlo), max(lhi, rhi)
 
 
 def _bucket_of(s: pd.Series, t0: float, span: float, n_buckets: int) -> np.ndarray:
@@ -746,8 +757,7 @@ def sessionize(
     time_buckets = max(1, int(time_buckets))
     t0 = span = 0.0
     if time_buckets > 1:
-        agg = ds.aggregate(Min(ts), Max(ts))
-        t0, t1 = _time_num(agg[f"min({ts})"]), _time_num(agg[f"max({ts})"])
+        t0, t1 = _agg_minmax(ds, ts)
         span = t1 - t0
         if span <= 0:
             time_buckets = 1
@@ -831,8 +841,7 @@ def _window_prep(
     time_buckets = max(1, int(time_buckets))
     t0 = span = 0.0
     if time_buckets > 1:
-        agg = ds.aggregate(Min(ts), Max(ts))
-        t0, t1 = _time_num(agg[f"min({ts})"]), _time_num(agg[f"max({ts})"])
+        t0, t1 = _agg_minmax(ds, ts)
         span = t1 - t0
         if span <= 0:
             time_buckets = 1

@@ -827,3 +827,47 @@ def test_grouped_rank_topk_monster_key_and_ties(ray_session):
     assert len(expect) > 2 * 4  # ties actually expanded beyond k rows/group
     pd.testing.assert_frame_equal(broadcast, expect)
     pd.testing.assert_frame_equal(hashed, expect)
+
+
+def test_bucketed_operators_empty_inputs(ray_session):
+    """Empty inputs through the time-bucketed operators: the min/max
+    sizing aggregates return None on zero rows — must degrade to the
+    single-bucket path and yield empty results, not crash."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bbcrawl_ray.pipelines.relops import (
+        asof_join, sessionize, windowed_lag, windowed_running_sum,
+    )
+
+    empty = pd.DataFrame(
+        {
+            "k": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "eid": pd.Series([], dtype="int64"),
+            "v": pd.Series([], dtype="int64"),
+        }
+    )
+    e = lambda: rd.from_pandas(empty)  # noqa: E731
+
+    assert sessionize(e(), "k", "ts", pd.Timedelta(minutes=30), time_buckets=4).count() == 0
+    assert (
+        windowed_lag(e(), key="k", order_cols=["ts", "eid"], value_col="v",
+                     keep_cols=["eid"], time_buckets=4, n_shards=2).count() == 0
+    )
+    assert (
+        windowed_running_sum(e(), key="k", order_cols=["ts", "eid"], value_col="v",
+                             keep_cols=["eid"], time_buckets=4, n_shards=2).count() == 0
+    )
+    right = pd.DataFrame(
+        {
+            "k": pd.Series([], dtype="int64"),
+            "rt": pd.Series([], dtype="datetime64[us]"),
+            "val": pd.Series([], dtype="int64"),
+        }
+    )
+    out = asof_join(
+        e(), rd.from_pandas(right), key="k", left_time="ts", right_time="rt",
+        value_cols=["val"], time_buckets=4, n_shards=2,
+    )
+    assert out.count() == 0
