@@ -450,21 +450,47 @@ def _query_vectors(sf_dir: str, n: int = 5):
     return np.stack(df["embedding"].to_numpy()), df["vec_id"].tolist()
 
 
-def q_embedding_pairs_exact(sf_dir: str) -> Dataset:
+def q_embedding_pairs_exact(
+    sf_dir: str, broadcast_bytes: int = 256 << 20
+) -> Dataset:
     """Exact all-pairs cosine >= 0.3 — the brute-force BASELINE: the
     normalized corpus matrix broadcasts once (ray.put), each batch does
     one matmul against it and emits (left_id, right_id) with left<right.
     O(n^2) compute by definition; the scale path is the LSH-bucketed
     ``embedding_near_dup``. Oracle: DuckDB self-join with
     list_cosine_similarity (margin to the 0.3 boundary is >= 5e-7 in
-    this corpus, ~1e8 x float64 noise)."""
+    this corpus, ~1e8 x float64 noise).
+
+    The corpus-matrix build is BYTE-GATED: the embeddings table's
+    MEASURED size must clear ``broadcast_bytes`` or this fails loudly
+    (pointing at ``embedding_near_dup``) — no ``q_`` entry holds an
+    unconditional data-proportional driver pull. Under the gate the
+    matrix streams block-by-block via ``iter_batches`` straight into
+    numpy (no pandas intermediate)."""
     import ray
 
-    ds = R.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    df = ds.to_pandas()  # corpus matrix: the broadcast side by design
-    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    ds = R.read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"]
+    ).materialize()
+    nbytes = ds.size_bytes() or 0
+    if nbytes > broadcast_bytes:
+        raise ValueError(
+            f"embedding_pairs_exact: corpus is {nbytes} bytes, above the "
+            f"{broadcast_bytes}-byte broadcast gate — this is the labeled "
+            "O(n^2) baseline; use embedding_near_dup (LSH) at this scale"
+        )
+    mats, id_parts = [], []
+    for t in ds.iter_batches(batch_format="pyarrow"):
+        if t.num_rows:
+            mats.append(
+                np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+                    np.float64
+                )
+            )
+            id_parts.append(t["vec_id"].to_numpy(zero_copy_only=False))
+    X = np.concatenate(mats) if mats else np.empty((0, 0))
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    ids = df["vec_id"].to_numpy()
+    ids = np.concatenate(id_parts) if id_parts else np.empty((0,), dtype=np.int64)
     ref = ray.put((Xn, ids))
 
     def pairs(t: pa.Table) -> pa.Table:

@@ -269,9 +269,23 @@ def auto_semi_join(
     left_anti join runs (both sides shuffle). Same gate philosophy as
     ``auto_join``: the decision is bytes, never a row-count heuristic,
     so no data-proportional key set can ever land on the driver (the
-    round-3 verdict's ``customers_no_big_orders`` finding)."""
+    round-3 verdict's ``customers_no_big_orders`` finding).
+
+    NULL-key semantics (identical on both transports, pinned by
+    ``test_auto_semi_join_null_keys_agree``): a null RIGHT key is
+    dropped from the key set, and a null LEFT key never matches —
+    excluded by semi, kept by anti. This is SQL EXISTS / NOT EXISTS
+    (``on = key`` is NULL for null keys → no match), and it is what the
+    engine's left_semi/left_anti hash join already does; the broadcast
+    ``is_in`` path agrees only because nulls are removed here (Arrow's
+    is_in would otherwise match null-to-null)."""
     right_on = right_on or on
-    keys_ds = distinct(right.select_columns([right_on]), [right_on]).materialize()
+    keys_ds = distinct(
+        filter_arrow(
+            right.select_columns([right_on]), lambda t: pc.is_valid(t[right_on])
+        ),
+        [right_on],
+    ).materialize()
     nbytes = keys_ds.size_bytes() or 0
     if nbytes <= broadcast_bytes:
         keys = collect_column(keys_ds, right_on)

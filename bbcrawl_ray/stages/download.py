@@ -126,7 +126,13 @@ class Downloader:
                         nbytes += len(chunk)
             except Exception as e:  # noqa: BLE001 — connection died mid-body
                 # drop the partial file so a resume re-downloads instead
-                # of skip-if-exists'ing a truncated blob
+                # of skip-if-exists'ing a truncated blob.
+                # PARITY DIVERGENCE (deliberate, like error_bodies): the
+                # reference's io.Copy error path (downloader.go:308-317)
+                # LEAVES the truncated file on disk, so output trees
+                # differ after interrupted downloads — keeping it would
+                # poison this engine's skip-if-exists resume with a
+                # permanently-truncated blob
                 try:
                     os.remove(target)
                 except OSError:

@@ -40,6 +40,10 @@ from ..sources.corpus import CorpusConfig, Response, make_transport
 _CHARSET_RE = re.compile(r"charset=([A-Za-z0-9_\-]+)", re.I)
 MAX_REDIRECTS = 10  # redirect.go:12
 
+# transport classes already warned about missing get_stream (once per
+# class per worker process, not per fetch)
+_BUFFERED_STREAM_WARNED: set[type] = set()
+
 
 @dataclass
 class FetchConfig:
@@ -233,12 +237,28 @@ class Fetcher:
     def _transport_call(self, url: str, req_headers, stream: bool):
         """(Response, reader | None). Transports without a native
         ``get_stream`` fall back to a BytesIO over the buffered body —
-        the synthetic/mapping corpora are in-memory by construction."""
+        the synthetic/mapping corpora are in-memory by construction.
+        The GB-scale-media memory bound therefore only holds for
+        transports implementing ``get_stream`` (HttpTransport does);
+        the fallback WARNS once per transport class so a future
+        large-body transport can't silently regress to worker-OOM
+        buffering (ADVICE r4)."""
         if not stream:
             return self.transport.get(url, headers=req_headers or None), None
         getter = getattr(self.transport, "get_stream", None)
         if getter is not None:
             return getter(url, headers=req_headers or None)
+        cls = type(self.transport)
+        if cls not in _BUFFERED_STREAM_WARNED:
+            _BUFFERED_STREAM_WARNED.add(cls)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "transport %s has no get_stream(): streamed fetches fall "
+                "back to buffering the whole body in memory — implement "
+                "get_stream on the transport for large-body corpora",
+                cls.__name__,
+            )
         import io
         from dataclasses import replace
 

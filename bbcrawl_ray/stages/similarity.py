@@ -95,19 +95,17 @@ def knn_brute(
         X = _norm_rows(_stack(t[vec_col]))
         ids = t[id_col].to_numpy(zero_copy_only=False)
         S = Qm @ X.T  # (q, n)
-        out_q, out_n, out_s = [], [], []
         kk = min(k + (1 if exclude_self else 0), S.shape[1])
-        for qi in range(S.shape[0]):
-            part = np.argpartition(-S[qi], kk - 1)[:kk]
-            for j in part:
-                out_q.append(qids[qi])
-                out_n.append(ids[j])
-                out_s.append(S[qi, j])
+        # vectorized emit: one argpartition over axis=1, then fancy
+        # indexing — no per-(query, k) Python appends
+        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]  # (q, kk)
+        rows = np.repeat(np.arange(S.shape[0]), kk)
+        cols = part.ravel()
         return pa.table(
             {
-                "query_id": pa.array(out_q),
-                "neighbor_id": pa.array(out_n),
-                "score": pa.array(out_s, pa.float64()),
+                "query_id": pa.array(np.asarray(qids)[rows]),
+                "neighbor_id": pa.array(ids[cols]),
+                "score": pa.array(S[rows, cols], pa.float64()),
             }
         )
 

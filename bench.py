@@ -202,6 +202,109 @@ def discovery_workload(num_cpus: int, n_hosts: int = 8, pages_per_host: int = 50
         shutil.rmtree(root, ignore_errors=True)
 
 
+def discovery_skew_workload(
+    num_cpus: int,
+    hot_pages: int = 2000,
+    cold_hosts: int = 7,
+    cold_pages: int = 60,
+    budget: int = 600,
+    delay: float = 0.001,
+) -> dict:
+    """Hot-host discovery stress (round-4 verdict #3): ONE host owns
+    ~90 %+ of discovered links (cutter seed: distinct path per page, so
+    every page discovers link_next_pages NEW urls; query-pager cold
+    hosts collapse to 2 distinct links each), with a per-host politeness
+    delay AND a skew_split_threshold that salts the hot host's winners
+    across the fetch pool. Reports the budget+salting drain across
+    epochs, whether cold hosts completed UNAFFECTED in epoch 0, the
+    measured hot link share, and the politeness floor vs measured wall
+    — the reference's serial-politeness semantics (api.go:104-113)
+    lifted to a parallel frontier."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from bbcrawl_ray.cli.partition import CrawlerSpec
+    from bbcrawl_ray.functions.urlfns import hosts_of_batch
+    from bbcrawl_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    digits = len(str(hot_pages))
+    seeds = [
+        {
+            "seed_id": "hot",
+            "pager": "cutter",
+            "blueprint_url": f"http://hot.example/p/{'0' * digits}.html",
+            "start": 1,
+            "end": hot_pages,
+            "cut_index": 22,
+            "cut_len": digits,
+            "digits": digits,
+        }
+    ] + [
+        {
+            "seed_id": f"cold{h}",
+            "pager": "query",
+            "blueprint_url": f"http://cold{h}.example/t",
+            "start": 1,
+            "end": cold_pages,
+        }
+        for h in range(cold_hosts)
+    ]
+    root = tempfile.mkdtemp(prefix="bbray_skew_")
+    try:
+        cfg = CrawlConfig(
+            crawler=CrawlerSpec(crawler="src", tags=["img"]),
+            seeds=seeds,
+            output_root=root,
+            follow_links=True,
+            same_host_only=True,
+            per_host_budget=budget,
+            min_host_delay_s=delay,
+            skew_split_threshold=max(64, budget // 3),  # salting engages
+            max_epochs=3,
+            seen_shards=4,
+            seen_mode="bloom",
+            fetch_concurrency=(2, max(4, num_cpus)),
+            fetch_batch_size=256,
+            fetch_num_cpus=1,
+            metrics_level="full",
+        )
+        t0 = time.perf_counter()
+        res = run_crawl(cfg)
+        wall = time.perf_counter() - t0
+        # measured link skew: hosts of every url offered by epoch 0's pages
+        link_hosts = []
+        for f in glob.glob(
+            f"{root}/checkpoints/epoch=00000/parsed/record_kind=link/*.parquet"
+        ):
+            t = pq.read_table(f, columns=["media_ref"])
+            if t.num_rows:
+                link_hosts.extend(hosts_of_batch(t["media_ref"]).to_pylist())
+        hot_links = sum(1 for h in link_hosts if h == "hot.example")
+        per_epoch = [
+            {
+                "hot_docs": m["docs_per_seed"].get("hot", 0),
+                "cold_docs": sum(
+                    v for k, v in m["docs_per_seed"].items() if k.startswith("cold")
+                ),
+                "wall_s": m["wall_s"],
+            }
+            for m in res.metrics
+        ]
+        floor = round((budget - 1) * delay, 3)
+        return {
+            "wall_s": round(wall, 3),
+            "per_epoch": per_epoch,
+            "hot_link_share": round(hot_links / max(1, len(link_hosts)), 3),
+            "cold_done_epoch0": per_epoch[0]["cold_docs"] == cold_hosts * cold_pages,
+            "hot_drained_per_epoch": all(e["hot_docs"] == budget for e in per_epoch),
+            "politeness_floor_s": floor,
+            "politeness_held": all(e["wall_s"] >= floor for e in per_epoch),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 BENCH_QUERIES = [
     "pricing_summary",
     "filter_project",
@@ -288,6 +391,7 @@ def main() -> None:
     crawl = sorted(runs, key=lambda r: r["wall_s"])[len(runs) // 2]
     crawl["wall_s_runs"] = [r["wall_s"] for r in runs]
     discovery = discovery_workload(num_cpus)
+    discovery_skew = discovery_skew_workload(num_cpus)
     queries = run_queries(sf_dir)
     # metric name matches the value: wall-seconds of the headline crawl
     # (throughput lives in crawl.pages_per_s — r1 reported seconds under
@@ -301,6 +405,7 @@ def main() -> None:
         "num_cpus": num_cpus,
         "crawl": crawl,
         "discovery": discovery,
+        "discovery_skew": discovery_skew,
     }
     print(json.dumps(result))
     ray.shutdown()

@@ -269,6 +269,101 @@ def test_discovery_crawl_follow_links(ray_session, tmp_root):
     assert depth_max >= 1
 
 
+def test_hot_host_skew_drains_politely_without_starving_cold_hosts(ray_session, tmp_root):
+    """The reference's serial-politeness semantics (api.go:104-113)
+    lifted to a parallel frontier, adversarially: ONE host owns ~90 %
+    of discovered links (a cutter-pager seed has a distinct path per
+    page, so every page discovers link_next_pages NEW urls; query-pager
+    cold hosts collapse to 2 distinct links per host) AND a per-host
+    delay + budget + a skew_split_threshold small enough to salt the
+    hot host's winners across the fetch pool. Asserts:
+
+    - cold hosts are UNAFFECTED: all their seed pages parse in epoch 0
+      (never deferred by the hot host's backlog),
+    - the hot host drains budget-per-epoch across epochs,
+    - per-host spacing HOLDS even with the hot host salted over
+      multiple actors (each epoch's wall >= (budget-1) x delay),
+    - every deferred frontier row belongs to the hot host, and
+      deferred rows keep the PLAIN host key (salting marks winners only).
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    hot_pages, budget, delay = 40, 16, 0.02
+    seeds = [
+        {
+            "seed_id": "hot",
+            "pager": "cutter",
+            # path distinct per page => discovered links scale with pages
+            "blueprint_url": "http://hot.example/p/0000.html",
+            "start": 1,
+            "end": hot_pages,
+            "cut_index": 22,
+            "cut_len": 4,
+            "digits": 4,
+        },
+    ] + [
+        {
+            "seed_id": f"cold{h}",
+            "pager": "query",
+            "blueprint_url": f"http://cold{h}.example/t",
+            "start": 1,
+            "end": 6,
+        }
+        for h in range(2)
+    ]
+    res = run(
+        dict(
+            crawler=CrawlerSpec(crawler="src", tags=["img"]),
+            seeds=seeds,
+            output_root=f"{tmp_root}/skew",
+            follow_links=True,
+            same_host_only=True,
+            per_host_budget=budget,
+            min_host_delay_s=delay,
+            skew_split_threshold=8,  # 16 winners -> salted into 2 sub-shards
+            max_epochs=3,
+            fetch_mode="actors",
+            fetch_concurrency=(2, 4),
+            fetch_batch_size=4,
+            metrics_level="full",
+        )
+    )
+    assert res.epochs_run == 3
+    # link skew is as constructed: epoch 0's hot pages discover 2 links
+    # each vs 2 per cold HOST -> hot owns 32 of 36 offered urls (~89 %)
+    per_seed_0 = res.metrics[0]["docs_per_seed"]
+    assert per_seed_0["hot"] == budget
+    assert per_seed_0["cold0"] == 6 and per_seed_0["cold1"] == 6
+    # hot drains budget per epoch; cold hosts keep discovering unimpeded
+    for m in res.metrics:
+        assert m["docs_per_seed"]["hot"] == budget
+        # politeness floor: budget hot fetches spaced >= delay apart
+        assert m["wall_s"] >= (budget - 1) * delay, m
+    assert res.metrics[1]["docs_per_seed"]["cold0"] == 2  # /t/next{1,2}
+    assert res.metrics[2]["docs_per_seed"]["cold0"] == 4  # /t/nextA/nextB
+    # deferred rows: hot-only, and NEVER salted (plain host key)
+    deferred_hosts = set()
+    deferred_shards = set()
+    for f in glob.glob(
+        f"{tmp_root}/skew/checkpoints/**/selected=false/*.parquet", recursive=True
+    ):
+        t = pq.read_table(f, columns=["host", "host_shard"])
+        deferred_hosts.update(t["host"].to_pylist())
+        deferred_shards.update(t["host_shard"].to_pylist())
+    assert deferred_hosts == {"hot.example"}
+    assert deferred_shards == {"hot.example"}
+    # salting DID happen for winners in epoch 0 (threshold 8 < budget 16)
+    salted = set()
+    for f in glob.glob(
+        f"{tmp_root}/skew/checkpoints/epoch=00000/**/selected=true/*.parquet",
+        recursive=True,
+    ):
+        salted.update(pq.read_table(f, columns=["host_shard"])["host_shard"].to_pylist())
+    assert any(s.startswith("hot.example#") for s in salted), salted
+
+
 def test_politeness_enforced_across_actor_pool(ray_session, tmp_root):
     """min_host_delay_s holds GLOBALLY even when one host's rows scatter
     over several fetch actors: N pages of one host cannot finish faster

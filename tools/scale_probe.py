@@ -26,12 +26,29 @@ import time
 
 def table_hash(df) -> str:
     """Order-insensitive sha256 of a small result frame: columns sorted
-    by name, rows sorted by value, values stringified."""
+    by name, rows sorted by value, then a CANONICAL per-column encoding
+    — integers/bools cast to int64 bytes, floats to float64 bytes,
+    everything else to utf-8 strings. (A to_csv rendering would tie the
+    hash to pandas float repr / dtype-width drift across versions and
+    fake cross-round regressions — ADVICE r4.)"""
+    import numpy as np
+    import pandas as pd
+
     d = df[sorted(df.columns)]
     if len(d):
         d = d.sort_values(list(d.columns), kind="mergesort")
-    payload = d.to_csv(index=False).encode()
-    return hashlib.sha256(payload).hexdigest()[:16]
+    h = hashlib.sha256()
+    h.update(("|".join(map(str, d.columns))).encode())
+    for c in d.columns:
+        col = d[c]
+        h.update(b"\x00" + str(c).encode() + b"\x00")
+        if pd.api.types.is_bool_dtype(col) or pd.api.types.is_integer_dtype(col):
+            h.update(np.ascontiguousarray(col.to_numpy(dtype=np.int64)).tobytes())
+        elif pd.api.types.is_float_dtype(col):
+            h.update(np.ascontiguousarray(col.to_numpy(dtype=np.float64)).tobytes())
+        else:
+            h.update("\x1f".join(col.astype(str)).encode())
+    return h.hexdigest()[:16]
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
