@@ -203,8 +203,8 @@ def q_segment_revenue(sf_dir: str) -> Dataset:
 
 def q_nation_customers(sf_dir: str) -> Dataset:
     """Two-level broadcast join (region ⋈ nation pre-joined on the driver)."""
-    nation = R.read_table(sf_dir, "nation").to_pandas()
-    region = R.read_table(sf_dir, "region").to_pandas()
+    nation = R.read_dim_pandas(sf_dir, "nation")
+    region = R.read_dim_pandas(sf_dir, "region")
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
         ["n_nationkey", "n_name", "r_name"]
     ]
@@ -616,13 +616,16 @@ def q_stratified_lineitem(sf_dir: str) -> Dataset:
 def q_customer_order_counts(sf_dir: str) -> Dataset:
     """LEFT OUTER join keeping zero-order customers. Orders pre-aggregate
     to one count row per custkey (combiner) BEFORE the join, so the
-    outer-join shuffle moves counts, never order rows; the engine
-    coalesces the key and we coalesce the missing counts to 0."""
+    outer-join transport moves counts, never order rows; the join is
+    byte-gated (``auto_join`` left_outer: broadcast left-merge under the
+    gate, the engine's left_outer hash join above it — the count side
+    scales with customers, so the MEASURED size decides), and missing
+    counts coalesce to 0."""
     orders = R.read_table(sf_dir, "orders", columns=["o_custkey"])
     counts = R.partial_group_aggregate(orders, ["o_custkey"], sums={}, count_as="order_count")
     cust = R.read_table(sf_dir, "customer", columns=["c_custkey"])
-    joined = R.hash_join(
-        cust, counts, on="c_custkey", right_on="o_custkey", join_type="left_outer"
+    joined = R.auto_join(
+        cust, counts, left_on="c_custkey", right_on="o_custkey", how="left_outer"
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -880,14 +883,14 @@ def q_nation_revenue(sf_dir: str) -> Dataset:
     """TPC-H Q5-shaped five-table join: local-supply revenue by ASIA
     nation for 1996 orders — the deepest join composition in the suite.
     Join strategy by side size: region⋈nation folds on the driver
-    (constant); the supplier and customer edges are byte-gated
-    (``auto_join`` — both scale with the corpus, 10k / 150k rows × sf);
-    lineitem ⋈ orders runs as a both-sides hash join (both fact-sized
-    at corpus scale). The discount arithmetic stays integer (cents ×
+    (constant); every other edge is byte-gated (``auto_join`` — the
+    supplier, customer, and filtered-orders sides all scale with the
+    corpus), so at bench scale the small sides broadcast and at 100×
+    each edge independently falls over to the both-sides hash join. The discount arithmetic stays integer (cents ×
     (100 − disc%), the ``revenue_milli`` convention) so the grouped sum
     is order-independent and hash-exact vs the SQL oracle."""
-    nation = R.read_table(sf_dir, "nation").to_pandas()
-    region = R.read_table(sf_dir, "region").to_pandas()
+    nation = R.read_dim_pandas(sf_dir, "nation")
+    region = R.read_dim_pandas(sf_dir, "region")
     asia = nation.merge(
         region[region["r_name"] == "ASIA"],
         left_on="n_regionkey",
@@ -936,10 +939,13 @@ def q_nation_revenue(sf_dir: str) -> Dataset:
             }
         )
 
-    joined = R.hash_join(
+    # orders_n (1996 ASIA orders) scales with the corpus too: byte-gated —
+    # at bench scale it broadcasts (skipping the engine join's
+    # multi-second fixed aggregator cost), at 100× it hash-shuffles
+    joined = R.auto_join(
         li.map_batches(prep, batch_format="pyarrow"),
         orders_n,
-        on="l_orderkey",
+        left_on="l_orderkey",
         right_on="o_orderkey",
     )
 

@@ -751,7 +751,7 @@ def q_read_seeds(sf_dir: str) -> Dataset:
 
     from ..sources.readers import read_seeds
 
-    region = R.read_table(sf_dir, "region").to_pandas().sort_values("r_regionkey")
+    region = R.read_dim_pandas(sf_dir, "region").sort_values("r_regionkey")
     seeds = pd.DataFrame(
         {
             "seed_id": region["r_name"],

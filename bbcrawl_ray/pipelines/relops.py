@@ -52,6 +52,25 @@ def read_table(
     return rd.read_parquet(path, **kwargs)
 
 
+_CONSTANT_DIMS = {"nation", "region"}  # TPC-H: 25 / 5 rows at EVERY sf
+
+
+def read_dim_pandas(sf_dir: str, name: str, columns: Sequence[str] | None = None) -> pd.DataFrame:
+    """Driver-side read of a CONSTANT-size dimension table via pyarrow
+    directly — no Ray execution for a 25-row lookup (each tiny
+    read-job costs ~0.3 s of pure scheduling; profiled round 5).
+    Restricted to tables whose size does NOT scale with the corpus
+    (asserted), so this can never become a data-proportional driver
+    pull — everything else goes through ``read_table`` + a byte-gated
+    transport."""
+    import pyarrow.parquet as pq
+
+    assert name in _CONSTANT_DIMS, f"read_dim_pandas is for constant dims, not {name!r}"
+    return pq.read_table(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=list(columns) if columns else None
+    ).to_pandas()
+
+
 # ---------------------------------------------------------------------------
 # per-batch transforms
 
@@ -113,16 +132,30 @@ def partial_group_aggregate(
     keys: Sequence[str],
     sums: dict[str, str] | None = None,
     count_as: str | None = None,
+    small_combine_bytes: int = 64 << 20,
 ) -> Dataset:
     """Combiner-style grouped sum/count: pre-aggregate each Arrow batch with
     ``pyarrow.Table.group_by`` (one output row per key per batch), then a
-    final small ``groupby().aggregate(Sum)`` shuffle.
+    BYTE-GATED final combine — the partials materialize (blocks stay in
+    the object store) and their MEASURED size picks the tail: under the
+    gate, one coalesced task re-runs the same Arrow group_by over all
+    partials (the engine's sort-based Aggregate costs multi-second fixed
+    overhead per invocation at 32 CPUs — profiled round 5: 9.3 s wall
+    for 139k partial rows); above it, the engine's distributed
+    ``groupby().aggregate(Sum)`` shuffle runs. Same gate philosophy as
+    ``auto_join``: bytes, never row counts, and nothing ever lands on
+    the driver either way.
 
     At 100 TB this is the difference between shuffling every row and
-    shuffling ~num_blocks × num_keys rows.
+    shuffling ~num_blocks × num_keys rows (and the gate routes that
+    shuffle to the engine when the key space itself is big).
     """
     sums = dict(sums or {})
     keys = list(keys)
+
+    def _arrow_combine(t: pa.Table, spec: list[tuple[str, str]], rename: dict) -> pa.Table:
+        g = t.group_by(keys).aggregate(spec)
+        return g.rename_columns([rename.get(c, c) for c in g.column_names])
 
     def partial(t: pa.Table) -> pa.Table:
         cols = {out: t[src] for out, src in sums.items()}
@@ -130,13 +163,30 @@ def partial_group_aggregate(
         agg_spec = [(out, "sum") for out in sums]
         if count_as:
             agg_spec.append((keys[0], "count"))
-        g = work.group_by(keys).aggregate(agg_spec)
         rename = {f"{out}_sum": out for out in sums}
         if count_as:
             rename[f"{keys[0]}_count"] = count_as
-        return g.rename_columns([rename.get(c, c) for c in g.column_names])
+        return _arrow_combine(work, agg_spec, rename)
 
-    partial_ds = ds.map_batches(partial, batch_format="pyarrow")
+    partial_ds = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    out_cols = [*keys, *sums] + ([count_as] if count_as else [])
+    nbytes = partial_ds.size_bytes() or 0
+    if nbytes <= small_combine_bytes:
+        combine_spec = [(out, "sum") for out in sums]
+        if count_as:
+            combine_spec.append((count_as, "sum"))
+        rename = {f"{out}_sum": out for out in sums}
+        if count_as:
+            rename[f"{count_as}_sum"] = count_as
+
+        def combine(t: pa.Table) -> pa.Table:
+            # column order matches the engine path (keys first)
+            return _arrow_combine(t, combine_spec, rename).select(out_cols)
+
+        # batch_size=None: the single coalesced block is one batch
+        return partial_ds.repartition(1).map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+        )
     final_aggs = {out: ("sum", out) for out in sums}
     if count_as:
         final_aggs[count_as] = ("sum", count_as)
@@ -218,6 +268,7 @@ def auto_join(
     right_on: str,
     broadcast_bytes: int = 64 << 20,
     num_partitions: int | None = None,
+    how: str = "inner",
 ) -> Dataset:
     """Size-adaptive INNER join transport: the right side materializes
     (its blocks stay in the object store) and its MEASURED byte size
@@ -229,16 +280,34 @@ def auto_join(
     fallback is the fully distributed transport. The engine's shuffle
     join carries a multi-second fixed aggregator cost per invocation,
     so joins whose small side is dimension-sized (a filtered customer
-    set, a lookup table) should never pay it."""
+    set, a lookup table) should never pay it.
+
+    ``how``: ``inner`` (default) or ``left_outer``. The broadcast
+    left_outer path mirrors the engine's output exactly (pinned by
+    ``test_auto_join_left_outer_paths_agree``): the right key column is
+    dropped (the engine coalesces it into the left key, which for a
+    LEFT outer is just the left key) and unmatched numeric payloads
+    surface as float64 NaN, same as the engine's join. full_outer is
+    NOT offered — unmatched RIGHT rows must be emitted exactly once
+    globally, which a per-batch broadcast merge cannot decide."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"auto_join: unsupported how={how!r}")
     right = right.materialize()
     nbytes = right.size_bytes() or 0
     if nbytes <= broadcast_bytes:
         # schema-safe: Ray 2.49 to_pandas() drops columns on zero-row
         # datasets, and merge() on a column-less frame raises KeyError —
         # an empty dimension side must yield an empty inner join instead
-        return broadcast_join(
-            left, to_pandas_schema_safe(right), left_on=left_on, right_on=right_on
+        joined = broadcast_join(
+            left,
+            to_pandas_schema_safe(right),
+            left_on=left_on,
+            right_on=right_on,
+            how="left" if how == "left_outer" else "inner",
         )
+        if how == "left_outer" and right_on != left_on:
+            joined = joined.drop_columns([right_on])
+        return joined
     if num_partitions is None:
         # grow the fan-out with the MEASURED right side above the
         # cluster-sized floor: each aggregator holds one partition pair
@@ -248,7 +317,12 @@ def auto_join(
         # round 4), so small joins must not over-partition either.
         num_partitions = max(join_partitions(None), -(-nbytes // (256 << 20)))
     return hash_join(
-        left, right, on=left_on, right_on=right_on, num_partitions=num_partitions
+        left,
+        right,
+        on=left_on,
+        right_on=right_on,
+        num_partitions=num_partitions,
+        join_type=how,
     )
 
 

@@ -215,6 +215,104 @@ def test_auto_semi_join_paths_agree(ray_session, sf_dir):
         pd.testing.assert_frame_equal(broadcast, hashed)
 
 
+def test_auto_join_left_outer_paths_agree(ray_session, sf_dir):
+    """auto_join's left_outer transports (broadcast left-merge vs engine
+    left_outer hash join) produce identical rows INCLUDING unmatched
+    lefts, identical column sets (right key dropped), and identical
+    NaN-for-miss payload semantics."""
+    import pandas as pd
+
+    from bbcrawl_ray.pipelines import relops as R
+
+    cust = R.read_table(sf_dir, "customer", columns=["c_custkey"])
+    orders = R.read_table(sf_dir, "orders", columns=["o_custkey"])
+    counts = R.partial_group_aggregate(
+        orders, ["o_custkey"], sums={}, count_as="order_count"
+    )
+
+    def norm(ds):
+        df = ds.to_pandas()
+        assert sorted(df.columns) == ["c_custkey", "order_count"]
+        return df.sort_values("c_custkey", kind="mergesort").reset_index(drop=True)[
+            ["c_custkey", "order_count"]
+        ]
+
+    broadcast = norm(
+        R.auto_join(
+            cust, counts, left_on="c_custkey", right_on="o_custkey", how="left_outer"
+        )
+    )
+    hashed = norm(
+        R.auto_join(
+            cust, counts, left_on="c_custkey", right_on="o_custkey",
+            how="left_outer", broadcast_bytes=0,
+        )
+    )
+    pd.testing.assert_frame_equal(broadcast, hashed, check_dtype=False)
+
+    # unmatched-left semantics on a synthetic miss (sf0.001 has no
+    # zero-order customer): both transports emit the row with NaN payload
+    import pyarrow as pa
+    import ray.data as rd
+
+    l = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    r = rd.from_arrow(
+        pa.table({"rk": pa.array([1], pa.int64()), "v": pa.array([10], pa.int64())})
+    )
+    for gate in (64 << 20, 0):
+        out = (
+            R.auto_join(l, r, left_on="k", right_on="rk", how="left_outer",
+                        broadcast_bytes=gate)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert sorted(out.columns) == ["k", "v"], (gate, out.columns)
+        assert len(out) == 2 and pd.isna(out.loc[1, "v"]), (gate, out)
+
+    with pytest.raises(ValueError, match="full_outer"):
+        R.auto_join(cust, counts, left_on="c_custkey", right_on="o_custkey", how="full_outer")
+
+
+def test_partial_group_aggregate_combine_paths_agree(ray_session, sf_dir):
+    """partial_group_aggregate's byte-gated tails (one-task Arrow combine
+    vs the engine's distributed groupby) produce identical results —
+    the gate only picks the combine transport, never semantics."""
+    import pandas as pd
+
+    from bbcrawl_ray.pipelines import relops as R
+
+    li = R.read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def prep(t):
+        import pyarrow as pa
+
+        return pa.table(
+            {"l_returnflag": t["l_returnflag"], "qty_cents": R.cents(t["l_quantity"])}
+        )
+
+    src = li.map_batches(prep, batch_format="pyarrow")
+
+    def norm(ds):
+        df = ds.to_pandas()
+        return df.sort_values("l_returnflag", kind="mergesort").reset_index(drop=True)
+
+    small = norm(
+        R.partial_group_aggregate(
+            src, ["l_returnflag"], sums={"qty": "qty_cents"}, count_as="n"
+        )
+    )
+    engine = norm(
+        R.partial_group_aggregate(
+            src, ["l_returnflag"], sums={"qty": "qty_cents"}, count_as="n",
+            small_combine_bytes=0,
+        )
+    )
+    assert list(small.columns) == list(engine.columns) == ["l_returnflag", "qty", "n"]
+    assert len(small) > 0
+    pd.testing.assert_frame_equal(small, engine)
+
+
 def test_auto_semi_join_null_keys_agree(ray_session):
     """Null keys behave identically on both transports (ADVICE r4): a
     null RIGHT key is dropped from the key set; a null LEFT key never
