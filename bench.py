@@ -272,14 +272,22 @@ def discovery_skew_workload(
         t0 = time.perf_counter()
         res = run_crawl(cfg)
         wall = time.perf_counter() - t0
-        # measured link skew: hosts of every url offered by epoch 0's pages
-        link_hosts = []
+        # measured link skew: DISTINCT urls discovered by epoch 0's pages
+        # (cold hosts offer the same 2 urls from every page — offers
+        # collapse; what the frontier actually grows by is distinct urls)
+        urls: set = set()
         for f in glob.glob(
             f"{root}/checkpoints/epoch=00000/parsed/record_kind=link/*.parquet"
         ):
             t = pq.read_table(f, columns=["media_ref"])
-            if t.num_rows:
-                link_hosts.extend(hosts_of_batch(t["media_ref"]).to_pylist())
+            urls.update(t["media_ref"].to_pylist())
+        import pyarrow as pa
+
+        link_hosts = (
+            hosts_of_batch(pa.array(sorted(urls), pa.string())).to_pylist()
+            if urls
+            else []
+        )
         hot_links = sum(1 for h in link_hosts if h == "hot.example")
         per_epoch = [
             {
