@@ -1010,56 +1010,60 @@ QUERIES: dict[str, Callable[[str], Dataset]] = {
     "approx_quantiles": TEXT_QUERIES["approx_quantiles"],
     "grouped_approx_quantiles": TEXT_QUERIES["grouped_approx_quantiles"],
     "grouped_approx_distinct": TEXT_QUERIES["grouped_approx_distinct"],
-    # -- 2. changed this round (supplier edges now byte-gated auto_join;
-    #       similarity family: byte-bounded corpus pull + vectorized
-    #       top-k emit; semi/anti null-key unification)
+    # -- 2. changed this round. Direct edits: supplier edges byte-gated,
+    #       left_outer auto_join, similarity byte-bound + vectorized
+    #       emit, semi/anti null-key unification. Shared-helper rides:
+    #       everything through partial_group_aggregate's new gated
+    #       combine tail, auto_join's sizing, and read_dim_pandas.
     "supplier_lineitem_volume": q_supplier_lineitem_volume,
     "nation_revenue": q_nation_revenue,
+    "customer_order_counts": q_customer_order_counts,
     "embedding_pairs_exact": TEXT_QUERIES["embedding_pairs_exact"],
     "embedding_knn": TEXT_QUERIES["embedding_knn"],
     "filtered_knn": TEXT_QUERIES["filtered_knn"],
     "customers_no_big_orders": q_customers_no_big_orders,
-    "customer_order_counts": q_customer_order_counts,
-    # -- 3. unchanged r4-green oracle-backed, most complex first
     "nation_customers": q_nation_customers,
     "segment_revenue": q_segment_revenue,
-    "events_sessions": q_events_sessions,
-    "events_last_order": q_events_last_order,
     "doc_token_freq": TEXT_QUERIES["doc_token_freq"],
     "ngram_jaccard_pairs": TEXT_QUERIES["ngram_jaccard_pairs"],
     "ngram_clusters": TEXT_QUERIES["ngram_clusters"],
     "ngram_cluster_sizes": TEXT_QUERIES["ngram_cluster_sizes"],
-    "minhash_clusters": TEXT_QUERIES["minhash_clusters"],
     "source_mix": TEXT_QUERIES["source_mix"],
-    "crawl_documents": TEXT_QUERIES["crawl_documents"],
     "corpus_prep": TEXT_QUERIES["corpus_prep"],
-    "decontaminate": TEXT_QUERIES["decontaminate"],
-    "media_headers": TEXT_QUERIES["media_headers"],
     "top_tokens": TEXT_QUERIES["top_tokens"],
-    "dedup_exact": TEXT_QUERIES["dedup_exact"],
-    "dedup_keep_first": TEXT_QUERIES["dedup_keep_first"],
     "user_activity_full_outer": q_user_activity_full_outer,
     "revenue_rollup": q_revenue_rollup,
     "pricing_summary": q_pricing_summary,
     "events_hourly": q_events_hourly,
-    # ---- position 51+ (below the driver's 50-row record window;
-    #      driver-verified green on r04 code, unchanged this round) ----
-    "shipdate_range": q_shipdate_range,
     "order_lineitem_join": q_order_lineitem_join,
     "top_orders_per_segment": q_top_orders_per_segment,
     "events_sliding_2h": q_events_sliding_2h,
-    "events_value_delta": q_events_value_delta,
-    "events_running_total": q_events_running_total,
     "price_quantiles": q_price_quantiles,
     "quantity_bands": q_quantity_bands,
+    "nation_year_revenue": q_nation_year_revenue,
+    "segment_priorities_list": q_segment_priorities_list,
+    "segment_top_priority": q_segment_top_priority,
+    # ---- position 51+ (below the driver's 50-row record window):
+    #      BIT-UNCHANGED code paths this round, driver-verified green on
+    #      r04 code, each still pytest-oracle-pinned at sf0.001 every
+    #      run (test_query_matches_oracle covers ALL ORACLE_SQL) and
+    #      swept green at sf0.01 this round (see BASELINE.md r5) ----
+    "events_sessions": q_events_sessions,
+    "events_last_order": q_events_last_order,
+    "minhash_clusters": TEXT_QUERIES["minhash_clusters"],
+    "crawl_documents": TEXT_QUERIES["crawl_documents"],
+    "decontaminate": TEXT_QUERIES["decontaminate"],
+    "media_headers": TEXT_QUERIES["media_headers"],
+    "dedup_exact": TEXT_QUERIES["dedup_exact"],
+    "dedup_keep_first": TEXT_QUERIES["dedup_keep_first"],
+    "shipdate_range": q_shipdate_range,
+    "events_value_delta": q_events_value_delta,
+    "events_running_total": q_events_running_total,
     "sample_orders": q_sample_orders,
     "weighted_sample_orders": q_weighted_sample_orders,
     "stratified_lineitem": q_stratified_lineitem,
-    "nation_year_revenue": q_nation_year_revenue,
     "parts_both_bands": q_parts_both_bands,
     "priorities_only_1996": q_priorities_only_1996,
-    "segment_priorities_list": q_segment_priorities_list,
-    "segment_top_priority": q_segment_top_priority,
     "brand_price_rank": q_brand_price_rank,
     "filter_project": q_filter_project,
     "top_orders": q_top_orders,
