@@ -583,6 +583,7 @@ def asof_join(
     value_casts: dict[str, str] | None = None,
     n_shards: int | None = None,
     time_buckets: int = 1,
+    small_merge_bytes: int = 64 << 20,
 ) -> Dataset:
     """Distributed AS-OF join (Ray Data has none): for every left row,
     the right row with the greatest ``right_time`` <= ``left_time``
@@ -613,7 +614,21 @@ def asof_join(
     Every exit path — both tag stages and every ``merge`` branch,
     including empty groups — enforces ONE dtype map, so the union and
     the output never emit mixed-schema blocks (round-2 verdict #3).
+
+    BYTE-GATED small path (same philosophy as ``auto_join`` /
+    ``partial_group_aggregate``): when the caller did NOT pin the
+    layout (no explicit ``n_shards``, no ``time_buckets``) and the two
+    sides' MEASURED combined size clears ``small_merge_bytes``, the
+    tagged union coalesces into ONE task running the IDENTICAL
+    ``merge`` closure over the whole frame — the per-key sort+ffill is
+    global, so the output is bit-identical (pinned by
+    ``test_asof_small_path_parity``) while the key-shard groupby
+    shuffle's multi-second fixed cost is skipped entirely. Explicit
+    layouts always run distributed, so layout-pinning callers (and the
+    monster-key tests) keep exercising the shuffle machinery.
     """
+    layout_pinned = n_shards is not None or time_buckets > 1
+    sized_bytes = None
     if n_shards is None or time_buckets > 1:
         # materialize BOTH sides before sizing: Dataset.count() on
         # derived lineage executes the whole upstream, and the tagged
@@ -623,6 +638,7 @@ def asof_join(
         # path always materializes: its min/max aggregates would
         # otherwise re-execute the upstream too.
         left, right = left.materialize(), right.materialize()
+        sized_bytes = (left.size_bytes() or 0) + (right.size_bytes() or 0)
         if n_shards is None:
             n_shards = data_sized_shards(left.count() + right.count())
     time_buckets = max(1, int(time_buckets))
@@ -745,6 +761,11 @@ def asof_join(
     rt = right.map_batches(tag_right, batch_format="pandas")
     sort_cols = [key, "_t", "_is_left", *value_cols]
     wire_cols = [*left_cols, *value_cols, "_t", "_is_left", "_shard"]
+    small_path = (
+        not layout_pinned
+        and sized_bytes is not None
+        and sized_bytes <= small_merge_bytes
+    )
 
     carries = None
     if time_buckets > 1:
@@ -805,6 +826,14 @@ def asof_join(
         # merge branch can emit a block with a divergent schema
         return out[out_schema].astype(final_dtypes)
 
+    if small_path:
+        # one coalesced task, the identical merge over the whole frame —
+        # no carries needed (nothing is bucketed), no shuffle
+        return (
+            lt.union(rt)
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+        )
     unioned = lt.union(rt)
     if carries is not None:
         unioned = unioned.union(carries)

@@ -506,6 +506,59 @@ def test_request_uri_fast_path_parity():
         assert _request_uri(link) == slow(link), link
 
 
+def test_asof_small_path_parity(ray_session):
+    """asof_join's byte-gated single-task path (default layout, small
+    measured inputs) is bit-identical to the pinned distributed path
+    and to the merge_asof oracle — the gate only picks transport."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bbcrawl_ray.pipelines.relops import asof_join
+
+    rng = np.random.default_rng(23)
+    n, rn = 5_000, 800
+    lt = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n).astype(np.int64),
+            "t": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**5, n), unit="s"),
+            "eid": np.arange(n, dtype=np.int64),
+        }
+    )
+    rt = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, rn).astype(np.int64),
+            "rt": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**5, rn), unit="s"),
+            "v": rng.integers(0, 10**6, rn).astype(np.int64),
+        }
+    ).drop_duplicates(["k", "rt"])
+
+    kw = dict(key="k", left_time="t", right_time="rt", value_cols=["v"])
+    small = asof_join(
+        rd.from_pandas(lt).repartition(8), rd.from_pandas(rt).repartition(8), **kw
+    ).to_pandas()
+    pinned = asof_join(
+        rd.from_pandas(lt).repartition(8), rd.from_pandas(rt).repartition(8),
+        n_shards=4, **kw,
+    ).to_pandas()
+
+    cols = ["k", "t", "eid", "v"]
+
+    def norm(df):
+        return df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(small), norm(pinned))
+    oracle = pd.merge_asof(
+        lt.sort_values("t", kind="mergesort"),
+        rt.sort_values("rt", kind="mergesort"),
+        left_on="t", right_on="rt", by="k", direction="backward",
+    ).dropna(subset=["v"])
+    oracle["v"] = oracle["v"].astype("int64")
+    pd.testing.assert_frame_equal(norm(small), norm(oracle))
+
+
 def test_asof_time_buckets_monster_key(ray_session):
     """Round-3 verdict #3: a SINGLE key holding ~all rows cannot be
     split by key-sharding — time_buckets partitions it by time range

@@ -313,6 +313,25 @@ def test_partial_group_aggregate_combine_paths_agree(ray_session, sf_dir):
     pd.testing.assert_frame_equal(small, engine)
 
 
+def test_partial_group_aggregate_empty_paths_agree(ray_session):
+    """Empty input behaves identically on both combine transports (0 rows
+    both ways; Ray 2.49 drops columns on zero-row to_pandas regardless —
+    that engine quirk is handled by to_pandas_schema_safe at call sites)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bbcrawl_ray.pipelines import relops as R
+
+    empty = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.int64())})
+    )
+    for gate in (64 << 20, 0):
+        out = R.partial_group_aggregate(
+            empty, ["k"], sums={"s": "v"}, count_as="n", small_combine_bytes=gate
+        )
+        assert out.count() == 0
+
+
 def test_auto_semi_join_null_keys_agree(ray_session):
     """Null keys behave identically on both transports (ADVICE r4): a
     null RIGHT key is dropped from the key set; a null LEFT key never
