@@ -867,17 +867,9 @@ def sessionize(
     second-pass group is bounded by its SESSION count, not its event
     count — the 100× reduction sessions give on real event streams.
     Outputs are bit-identical across bucket settings."""
-    if n_shards is None or time_buckets > 1:
-        ds = ds.materialize()
-        if n_shards is None:
-            n_shards = data_sized_shards(ds.count())
-    time_buckets = max(1, int(time_buckets))
-    t0 = span = 0.0
-    if time_buckets > 1:
-        t0, t1 = _agg_minmax(ds, ts)
-        span = t1 - t0
-        if span <= 0:
-            time_buckets = 1
+    ds, n_shards, time_buckets, t0, span, small = _window_prep(
+        ds, key, ts, n_shards, time_buckets
+    )
 
     def merge_sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, "_start", "_end"], kind="mergesort")
@@ -909,6 +901,12 @@ def sessionize(
             )
 
         summaries = ds.map_batches(to_summaries, batch_format="pandas")
+        if small:
+            # byte-gated single-task path (see _window_prep): the merge
+            # groups by key internally, so one global call is identical
+            return summaries.repartition(1).map_batches(
+                merge_sessions, batch_format="pandas", batch_size=None
+            )
         return summaries.groupby("_kshard").map_groups(
             merge_sessions, batch_format="pandas"
         )
@@ -946,13 +944,30 @@ def sessionize(
 
 
 def _window_prep(
-    ds: Dataset, key: str, ts: str, n_shards: int | None, time_buckets: int
+    ds: Dataset,
+    key: str,
+    ts: str,
+    n_shards: int | None,
+    time_buckets: int,
+    small_bytes: int = 64 << 20,
 ):
     """Shared sizing for the windowed operators: materialize (count and
     min/max would re-execute lineage), derive shards from data, derive
-    the time-bucket axis. Returns (ds, n_shards, time_buckets, t0, span)."""
+    the time-bucket axis. Returns (ds, n_shards, time_buckets, t0, span,
+    small) — ``small`` is True when the caller did NOT pin the layout
+    (no explicit n_shards / time_buckets) and the input's MEASURED size
+    clears ``small_bytes``: every windowed operator's per-group pandas
+    function groups by ``key`` internally, so running it once over the
+    whole frame in ONE coalesced task is bit-identical to the key-shard
+    shuffle while skipping the shuffle's multi-second fixed cost (the
+    ``asof_join`` small path's philosophy, pinned by
+    ``test_window_small_paths_parity``). Explicit layouts always run
+    distributed."""
+    layout_pinned = n_shards is not None or time_buckets > 1
+    small = False
     if n_shards is None or time_buckets > 1:
         ds = ds.materialize()
+        small = not layout_pinned and (ds.size_bytes() or 0) <= small_bytes
         if n_shards is None:
             n_shards = data_sized_shards(ds.count())
     time_buckets = max(1, int(time_buckets))
@@ -962,7 +977,19 @@ def _window_prep(
         span = t1 - t0
         if span <= 0:
             time_buckets = 1
-    return ds, n_shards, time_buckets, t0, span
+    return ds, n_shards, time_buckets, t0, span, small
+
+
+def _apply_per_key_window(sharded: Dataset, fn, small: bool) -> Dataset:
+    """Run a per-key-vectorized group function either as the key-shard
+    grouped shuffle (scale path) or as ONE coalesced task (small path) —
+    ``fn`` must group by the key internally, which makes the two
+    transports bit-identical by construction."""
+    if small:
+        return sharded.repartition(1).map_batches(
+            fn, batch_format="pandas", batch_size=None
+        )
+    return sharded.groupby("_shard").map_groups(fn, batch_format="pandas")
 
 
 def windowed_lag(
@@ -986,7 +1013,7 @@ def windowed_lag(
     order_cols = list(order_cols)
     ts = order_cols[0]
     keep_cols = list(keep_cols) if keep_cols is not None else []
-    ds, n_shards, time_buckets, t0, span = _window_prep(
+    ds, n_shards, time_buckets, t0, span, small = _window_prep(
         ds, key, ts, n_shards, time_buckets
     )
 
@@ -1009,7 +1036,7 @@ def windowed_lag(
         return out[[key, *keep_cols, out_col]]
 
     if time_buckets == 1:
-        return sharded.groupby("_shard").map_groups(delta_group, batch_format="pandas")
+        return _apply_per_key_window(sharded, delta_group, small)
 
     sharded = sharded.materialize()  # union + carry pass both consume it
 
@@ -1065,7 +1092,7 @@ def windowed_running_sum(
     order_cols = list(order_cols)
     ts = order_cols[0]
     keep_cols = list(keep_cols) if keep_cols is not None else []
-    ds, n_shards, time_buckets, t0, span = _window_prep(
+    ds, n_shards, time_buckets, t0, span, small = _window_prep(
         ds, key, ts, n_shards, time_buckets
     )
 
@@ -1087,11 +1114,12 @@ def windowed_running_sum(
         g = g.assign(**{out_col: g.groupby(key, sort=False)[value_col].cumsum()})
         return g[[key, *keep_cols, out_col, "_shard"]]
 
-    partial = sharded.groupby("_shard").map_groups(local_cumsum, batch_format="pandas")
     if time_buckets == 1:
+        partial = _apply_per_key_window(sharded, local_cumsum, small)
         return partial.map_batches(
             lambda df: df.drop(columns=["_shard"]), batch_format="pandas"
         )
+    partial = sharded.groupby("_shard").map_groups(local_cumsum, batch_format="pandas")
 
     # bucket totals are ORDER-FREE sums of the raw values (never a
     # max of the cumsum, which breaks on negative values): per-batch

@@ -506,6 +506,54 @@ def test_request_uri_fast_path_parity():
         assert _request_uri(link) == slow(link), link
 
 
+def test_window_small_paths_parity(ray_session):
+    """The windowed operators' byte-gated single-task paths (default
+    layout, small measured input) are bit-identical to the pinned
+    key-shard shuffle paths — lag, running sum, and sessionize."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bbcrawl_ray.pipelines.relops import sessionize, windowed_lag, windowed_running_sum
+
+    rng = np.random.default_rng(31)
+    n = 4_000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 25, n).astype(np.int64),
+            "t": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**5, n), unit="s"),
+            "v": rng.integers(-50, 50, n).astype(np.int64),
+            "eid": np.arange(n, dtype=np.int64),
+        }
+    ).drop_duplicates(["k", "t"])
+
+    def src():
+        return rd.from_pandas(df).repartition(8)
+
+    def norm(d, cols):
+        return (
+            d.to_pandas()[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        )
+
+    kw = dict(key="k", order_cols=["t", "eid"], value_col="v", keep_cols=["eid"])
+    cols = ["k", "eid", "value_delta"]
+    pd.testing.assert_frame_equal(
+        norm(windowed_lag(src(), **kw), cols),
+        norm(windowed_lag(src(), n_shards=4, **kw), cols),
+    )
+    cols = ["k", "eid", "running"]
+    pd.testing.assert_frame_equal(
+        norm(windowed_running_sum(src(), out_col="running", **kw), cols),
+        norm(windowed_running_sum(src(), out_col="running", n_shards=4, **kw), cols),
+    )
+    cols = ["k", "session_id", "n_events", "session_start"]
+    pd.testing.assert_frame_equal(
+        norm(sessionize(src(), "k", "t", pd.Timedelta(minutes=30)), cols),
+        norm(sessionize(src(), "k", "t", pd.Timedelta(minutes=30), n_shards=4), cols),
+    )
+
+
 def test_asof_small_path_parity(ray_session):
     """asof_join's byte-gated single-task path (default layout, small
     measured inputs) is bit-identical to the pinned distributed path
