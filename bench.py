@@ -340,6 +340,11 @@ BENCH_QUERIES = [
     "nation_revenue",
     # the two-pass broadcast-vocab scoring pipeline (perplexity proxy)
     "doc_token_freq",
+    # round-5 additions (new keys; earlier rounds' comparable set
+    # unchanged): the byte-gated supplier join and the bucketed
+    # sessionize showcase (explicit time_buckets=8 — always distributed)
+    "supplier_lineitem_volume",
+    "events_sessions",
 ]
 
 
