@@ -197,36 +197,58 @@ def partial_group_aggregate(
 # sort / top-k / distinct
 
 
-def topk(ds: Dataset, by: Sequence[str], descending: Sequence[bool], k: int) -> Dataset:
-    """Global top-k: prune to k rows per block first, then sort-limit.
-
-    The local prune keeps the all-to-all sort tiny (k × num_blocks rows).
-    """
+def topk(
+    ds: Dataset,
+    by: Sequence[str],
+    descending: Sequence[bool],
+    k: int,
+    small_bytes: int = 64 << 20,
+) -> Dataset:
+    """Global top-k: prune to k rows per block first, then a BYTE-GATED
+    tail over the ≤ k × num_blocks pruned rows — one coalesced
+    sort-take task under the gate (the engine sort is an all-to-all
+    with multi-second fixed cost), the engine sort-limit above it."""
     by = list(by)
     descending = list(descending)
+    order = [(c, "descending" if d else "ascending") for c, d in zip(by, descending)]
 
     def local_prune(t: pa.Table) -> pa.Table:
         if t.num_rows <= k:
             return t
-        order = [(c, "descending" if d else "ascending") for c, d in zip(by, descending)]
         idx = pc.sort_indices(t, sort_keys=order)
         return t.take(idx[:k])
 
-    pruned = ds.map_batches(local_prune, batch_format="pyarrow")
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow").materialize()
+    if (pruned.size_bytes() or 0) <= small_bytes:
+        def global_take(t: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(t, sort_keys=order)
+            return t.take(idx[: min(k, t.num_rows)])
+
+        return pruned.repartition(1).map_batches(
+            global_take, batch_format="pyarrow", batch_size=None
+        )
     return pruned.sort(by, descending=descending).limit(k)
 
 
-def distinct(ds: Dataset, cols: Sequence[str]) -> Dataset:
-    """Distinct tuples: per-block Arrow dedup, then one NATIVE grouped
-    count whose count column is dropped — no per-group Python UDF, no
-    pandas conversion (a ``map_groups(head(1))`` tail costs one Python
-    call per distinct key, the dominant cost at millions of keys)."""
+def distinct(
+    ds: Dataset, cols: Sequence[str], small_bytes: int = 64 << 20
+) -> Dataset:
+    """Distinct tuples: per-block Arrow dedup, then a BYTE-GATED global
+    dedup — the per-block partials materialize and their MEASURED size
+    picks the tail: one coalesced task re-running the same Arrow
+    group_by under the gate (the engine's grouped shuffle carries
+    multi-second fixed cost per invocation), the NATIVE grouped count
+    (count column dropped — no per-group Python UDF) above it."""
     cols = list(cols)
 
     def local(t: pa.Table) -> pa.Table:
         return t.select(cols).group_by(cols).aggregate([])
 
-    deduped = ds.map_batches(local, batch_format="pyarrow")
+    deduped = ds.map_batches(local, batch_format="pyarrow").materialize()
+    if (deduped.size_bytes() or 0) <= small_bytes:
+        return deduped.repartition(1).map_batches(
+            local, batch_format="pyarrow", batch_size=None
+        )
     key = cols if len(cols) > 1 else cols[0]
     out = deduped.groupby(key).count()
     return out.drop_columns(["count()"])
@@ -381,11 +403,14 @@ def grouped_topk(
     descending: Sequence[bool],
     k: int,
     out_cols: Sequence[str] | None = None,
+    small_bytes: int = 64 << 20,
 ) -> Dataset:
     """Top-k WITHIN each group: per-block per-group prune first (the
     global winners of any group are a subset of every block's own
-    per-group top-k), then one grouped head over ≤ k × num_blocks rows
-    per group. Without the prune a low-cardinality group column (e.g. 5
+    per-group top-k), then a BYTE-GATED grouped head over ≤ k ×
+    num_blocks rows per group — one coalesced task re-running the SAME
+    sort+grouped-head under the gate, the engine's grouped shuffle
+    above it. Without the prune a low-cardinality group column (e.g. 5
     market segments) funnels the ENTIRE fact table into 5 pandas groups
     — the prune bounds each group by blocks, not rows."""
     group_cols = list(group_cols)
@@ -405,7 +430,13 @@ def grouped_topk(
         out = g.sort_values(by, ascending=ascending, kind="mergesort").head(k)
         return out[out_cols] if out_cols else out
 
-    pruned = ds.map_batches(local, batch_format="pandas")
+    pruned = ds.map_batches(local, batch_format="pandas").materialize()
+    if (pruned.size_bytes() or 0) <= small_bytes:
+        # `local` IS the whole-frame grouped head — same sort, same
+        # stable tie-break, applied once globally
+        return pruned.repartition(1).map_batches(
+            local, batch_format="pandas", batch_size=None
+        )
     key = group_cols if len(group_cols) > 1 else group_cols[0]
     return pruned.groupby(key).map_groups(final, batch_format="pandas")
 

@@ -313,6 +313,50 @@ def test_partial_group_aggregate_combine_paths_agree(ray_session, sf_dir):
     pd.testing.assert_frame_equal(small, engine)
 
 
+def test_distinct_topk_grouped_topk_paths_agree(ray_session, sf_dir):
+    """distinct / topk / grouped_topk byte-gated tails: the single-task
+    small path and the engine shuffle path produce identical results."""
+    import pandas as pd
+
+    from bbcrawl_ray.pipelines import relops as R
+
+    li = R.read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+
+    def norm(ds, cols):
+        df = ds.to_pandas()[cols]
+        return df.sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+    cols = ["l_returnflag", "l_linestatus"]
+    pd.testing.assert_frame_equal(
+        norm(R.distinct(li, cols), cols),
+        norm(R.distinct(li, cols, small_bytes=0), cols),
+    )
+
+    orders = R.read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    tcols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    pd.testing.assert_frame_equal(
+        norm(R.topk(orders, ["o_totalprice", "o_orderkey"], [True, False], 10), tcols),
+        norm(
+            R.topk(orders, ["o_totalprice", "o_orderkey"], [True, False], 10,
+                   small_bytes=0),
+            tcols,
+        ),
+    )
+
+    cust = R.read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    gcols = ["c_mktsegment", "c_acctbal", "c_custkey"]
+    kw = dict(
+        group_cols=["c_mktsegment"], by=["c_acctbal", "c_custkey"],
+        descending=[True, False], k=3, out_cols=gcols,
+    )
+    pd.testing.assert_frame_equal(
+        norm(R.grouped_topk(cust, **kw), gcols),
+        norm(R.grouped_topk(cust, small_bytes=0, **kw), gcols),
+    )
+
+
 def test_partial_group_aggregate_empty_paths_agree(ray_session):
     """Empty input behaves identically on both combine transports (0 rows
     both ways; Ray 2.49 drops columns on zero-row to_pandas regardless —
