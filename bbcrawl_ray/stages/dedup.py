@@ -33,23 +33,70 @@ from ray.data.aggregate import Count, Min
 # exact dedup
 
 
-def exact_dedup(ds: Dataset, key: str = "text", id_col: str = "doc_id") -> Dataset:
-    """One row per distinct ``key``: (doc_id = min id, dup_count)."""
+def exact_dedup(
+    ds: Dataset,
+    key: str = "text",
+    id_col: str = "doc_id",
+    small_combine_bytes: int = 64 << 20,
+) -> Dataset:
+    """One row per distinct ``key``: (doc_id = min id, dup_count).
+
+    Combiner-style: each block pre-aggregates to one (key, min id,
+    count) row per distinct key — duplicate texts collapse BEFORE the
+    shuffle, so the text-keyed exchange moves ≤ blocks × distinct keys
+    rows, never the corpus. The final combine is BYTE-GATED on the
+    MEASURED partial size (one coalesced Arrow group_by task under the
+    gate, the engine's grouped shuffle above it — the
+    ``partial_group_aggregate`` pattern, min-of-mins / sum-of-counts)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([key]).aggregate([(id_col, "min"), (id_col, "count")])
+        return g.rename_columns(
+            [
+                {f"{id_col}_min": id_col, f"{id_col}_count": "dup_count"}.get(c, c)
+                for c in g.column_names
+            ]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by([key]).aggregate([(id_col, "min"), ("dup_count", "sum")])
+        g = g.rename_columns(
+            [
+                {f"{id_col}_min": id_col, "dup_count_sum": "dup_count"}.get(c, c)
+                for c in g.column_names
+            ]
+        )
+        return g.select([id_col, "dup_count"])
+
+    if (partials.size_bytes() or 0) <= small_combine_bytes:
+        return partials.repartition(1).map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+        )
+    from ray.data.aggregate import Sum as _Sum
+
     return (
-        ds.groupby(key)
-        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="dup_count"))
+        partials.groupby(key)
+        .aggregate(Min(id_col, alias_name=id_col), _Sum("dup_count", alias_name="dup_count"))
         .drop_columns([key])
     )
 
 
 def exact_dedup_keep_first(
-    ds: Dataset, key: str = "text", id_col: str = "doc_id", n_shards: int = 256
+    ds: Dataset,
+    key: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 256,
+    small_bytes: int = 64 << 20,
 ) -> Dataset:
     """Keep the full first row (min ``id_col``) per distinct key.
 
     Per-block pre-dedup (at most one row per key per block survives),
-    then ONE key-shard shuffle with a vectorized drop_duplicates per
-    shard — no giant per-key group and no Python call per key."""
+    then a BYTE-GATED tail over the survivors: one coalesced
+    drop_duplicates task under the gate, ONE key-shard shuffle with a
+    vectorized drop_duplicates per shard above it — no giant per-key
+    group and no Python call per key on either path."""
 
     def local_first(g: pd.DataFrame) -> pd.DataFrame:
         from ..pipelines.relops import shard_of
@@ -64,7 +111,13 @@ def exact_dedup_keep_first(
             .drop(columns=["_shard"])
         )
 
-    pre = ds.map_batches(local_first, batch_format="pandas")
+    pre = ds.map_batches(local_first, batch_format="pandas").materialize()
+    if (pre.size_bytes() or 0) <= small_bytes:
+        # first_in_shard dedups by key globally — one coalesced task is
+        # identical to the sharded union of per-shard dedups
+        return pre.repartition(1).map_batches(
+            first_in_shard, batch_format="pandas", batch_size=None
+        )
     return pre.groupby("_shard").map_groups(first_in_shard, batch_format="pandas")
 
 

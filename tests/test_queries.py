@@ -357,6 +357,33 @@ def test_distinct_topk_grouped_topk_paths_agree(ray_session, sf_dir):
     )
 
 
+def test_exact_dedup_paths_agree(ray_session, sf_dir):
+    """exact_dedup / exact_dedup_keep_first byte-gated tails: single-task
+    combine vs engine shuffle produce identical results."""
+    import pandas as pd
+
+    from bbcrawl_ray.pipelines import relops as R
+    from bbcrawl_ray.stages.dedup import exact_dedup, exact_dedup_keep_first
+
+    docs = R.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(ds, cols):
+        df = ds.to_pandas()[cols]
+        return df.sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+    cols = ["doc_id", "dup_count"]
+    pd.testing.assert_frame_equal(
+        norm(exact_dedup(docs), cols),
+        norm(exact_dedup(docs, small_combine_bytes=0), cols),
+        check_dtype=False,
+    )
+    kcols = ["doc_id", "text"]
+    pd.testing.assert_frame_equal(
+        norm(exact_dedup_keep_first(docs), kcols),
+        norm(exact_dedup_keep_first(docs, small_bytes=0), kcols),
+    )
+
+
 def test_partial_group_aggregate_empty_paths_agree(ray_session):
     """Empty input behaves identically on both combine transports (0 rows
     both ways; Ray 2.49 drops columns on zero-row to_pandas regardless —
